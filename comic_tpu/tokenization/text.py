@@ -1,0 +1,105 @@
+"""Caption id <-> text conversion for all three token types.
+
+Mirrors ``id_to_caption`` (/root/reference/src/infer_fn.py:46-75) and the
+per-token-type caption encoders in the input managers
+(/root/reference/common/inputs/manager_image_caption.py:206-228,263-281,
+334-357,477-509).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .radix import RadixCodec
+from .vocab import EOS, GO, PAD, UNK, Vocabulary
+
+
+def ids_to_captions(
+    ids: np.ndarray,
+    token_type: str,
+    vocab: Vocabulary,
+    radix_base: Optional[int] = None,
+) -> List[str]:
+    """Decode a (batch, time) int array of generated ids into caption strings.
+
+    - radix: digits -> fixed-width groups -> word ids (infer_fn.py:50-63)
+    - word:  drop ids < 0 and <EOS>, join with spaces (infer_fn.py:65-74)
+    - char:  same but join without spaces
+    """
+    ids = np.asarray(ids)
+    if ids.ndim == 1:
+        ids = ids[None]
+    captions: List[str] = []
+    if token_type == "radix":
+        codec = RadixCodec(len(vocab), radix_base)
+        for row in ids:
+            wids = codec.decode_ids(row.tolist())
+            captions.append(" ".join(vocab.word(w) for w in wids))
+    elif token_type in ("word", "char"):
+        eos = vocab.eos_id
+        joiner = " " if token_type == "word" else ""
+        for row in ids:
+            toks = [vocab.word(w) for w in row.tolist() if w >= 0 and w != eos]
+            captions.append(joiner.join(toks))
+    else:
+        raise ValueError(f"Unknown token_type: {token_type}")
+    return captions
+
+
+def encode_caption_tokens(
+    tokens: Sequence[str],
+    token_type: str,
+    vocab: Vocabulary,
+    radix_base: Optional[int] = None,
+) -> np.ndarray:
+    """Encode a token list (already including <GO>/<EOS>) to an id array.
+
+    word: direct lookup with <UNK> fallback (manager:206-228).
+    radix: per-word digit expansion (manager:263-281).
+    char: interior tokens are re-joined with spaces and split to chars, then
+    wrapped in GO/EOS (manager:334-357).
+    """
+    if token_type == "word":
+        return np.asarray([vocab.id(t) for t in tokens], dtype=np.int32)
+    if token_type == "radix":
+        codec = RadixCodec(len(vocab), radix_base)
+        return codec.encode_caption(tokens, vocab.wtoi).astype(np.int32)
+    if token_type == "char":
+        interior = " ".join(tokens[1:-1])
+        ids = [vocab.wtoi[ch] for ch in interior]
+        return np.asarray(
+            [vocab.go_id] + ids + [vocab.eos_id], dtype=np.int32
+        )
+    raise ValueError(f"Unknown token_type: {token_type}")
+
+
+def caption_strings_to_batched_ids(
+    captions: Sequence[str],
+    token_type: str,
+    vocab: Vocabulary,
+    radix_base: Optional[int] = None,
+    pad_id: int = -1,
+) -> np.ndarray:
+    """Re-tokenize sampled hypothesis strings into a padded id batch.
+
+    Used as XE targets during SCST training — mirrors
+    ``captions_to_batched_ids`` (manager_image_caption.py:477-509).
+    """
+    rows: List[np.ndarray] = []
+    for cap in captions:
+        if token_type == "char":
+            ids = [vocab.wtoi[ch] for ch in cap]
+            row = np.asarray([vocab.go_id] + ids + [vocab.eos_id], dtype=np.int32)
+        else:
+            toks = [GO] + cap.split() + [EOS]
+            row = encode_caption_tokens(toks, token_type, vocab, radix_base)
+        rows.append(row)
+    max_len = max(r.shape[0] for r in rows)
+    if max_len <= 1:
+        raise ValueError("All hypotheses are empty.")
+    out = np.full((len(rows), max_len), pad_id, dtype=np.int32)
+    for i, r in enumerate(rows):
+        out[i, : r.shape[0]] = r
+    return out
