@@ -1,0 +1,180 @@
+"""Multi-head visual attention over CNN feature maps.
+
+Functional re-design of the reference attention stack
+(/root/reference/common/ops_rnn.py:403-632 MultiHeadAttV3 / MultiHeadAddLN /
+MultiHeadAdd / MultiHeadDot): keys/values are projected ONCE per image
+(`precompute`), and the per-token scoring step is a tiny pure function meant
+to live inside a `lax.scan` / `lax.while_loop` decode body. No wrapper-class
+state machinery — the decoder carries (keys, values) as loop-invariant
+arrays.
+
+Score functions:
+  - add_LN (the COMIC default): score_h = sum_c v ⊙ LN_tanh(keys + Wq q),
+    per head, divided by a learned scalar temperature (init 5.0)
+    (ops_rnn.py:523-565).
+  - add: same without the LayerNorm (ops_rnn.py:568-600).
+  - dot: scaled dot-product (ops_rnn.py:603-632).
+Probability functions: softmax or normalized sigmoid `_signorm`
+(model_base.py:598-603).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    dense_apply,
+    dense_init,
+    layer_norm_apply,
+    layer_norm_init,
+    split_heads,
+    xavier_uniform,
+)
+
+Params = Dict[str, Any]
+
+
+class AttentionConfig(NamedTuple):
+    num_units: int  # attention depth (== rnn_size in the reference)
+    num_heads: int
+    memory_channels: int  # CNN feature-map channel count
+    alignment: str = "add_LN"  # add_LN | add | dot
+    probability: str = "softmax"  # softmax | sigmoid
+    fm_projection: Optional[str] = "tied"  # None | 'tied' | 'independent'
+    context_layer: bool = False  # extra linear on the context vector
+    scale: bool = True  # learned softmax temperature (add variants)
+
+    @property
+    def context_size(self) -> int:
+        """Size of the attention context fed back to the RNN input.
+
+        Raw feature-map channels when no projection and no context layer,
+        else num_units (model_base.py:610-613, ops_rnn.py:775-779).
+        """
+        if self.fm_projection is None and not self.context_layer:
+            return self.memory_channels
+        return self.num_units
+
+
+class AttentionMemory(NamedTuple):
+    """Per-image precomputed tensors (loop-invariant during decode)."""
+
+    keys: jnp.ndarray  # (B, L, U)
+    values: jnp.ndarray  # (B, H, L, D) split into heads
+
+
+def attention_init(key, cfg: AttentionConfig, init=xavier_uniform) -> Params:
+    ks = jax.random.split(key, 4)
+    p: Params = {
+        "query_layer": dense_init(ks[0], cfg.num_units, cfg.num_units,
+                                  use_bias=False, init=init),
+        "memory_layer": dense_init(ks[1], cfg.memory_channels, cfg.num_units,
+                                   use_bias=False, init=init),
+    }
+    if cfg.alignment in ("add_LN", "add"):
+        p["v"] = init(ks[2], (cfg.num_units,))
+        if cfg.alignment == "add_LN":
+            p["ln"] = layer_norm_init(cfg.num_units)
+        if cfg.scale:
+            p["softmax_temperature"] = jnp.float32(5.0)
+    if cfg.fm_projection == "independent":
+        p["value_layer"] = dense_init(ks[3], cfg.memory_channels, cfg.num_units,
+                                      use_bias=False, init=init)
+    if cfg.context_layer:
+        context_in = (cfg.memory_channels if cfg.fm_projection is None
+                      else cfg.num_units)
+        p["a_layer"] = dense_init(
+            jax.random.fold_in(key, 7), context_in, cfg.num_units,
+            use_bias=False, init=init)
+    return p
+
+
+def precompute(p: Params, cfg: AttentionConfig, feature_map: jnp.ndarray,
+               dtype=None) -> AttentionMemory:
+    """Project the (B, L, C) feature map into keys and per-head values.
+
+    One batched matmul per image instead of per decode step — the reference
+    gets this from contrib's memory_layer applied at mechanism construction
+    (ops_rnn.py:440-447); here it is explicit.
+    """
+    keys = dense_apply(p["memory_layer"], feature_map, dtype=dtype)
+    if cfg.fm_projection == "tied":
+        values = split_heads(keys, cfg.num_heads)
+    elif cfg.fm_projection == "independent":
+        values = split_heads(
+            dense_apply(p["value_layer"], feature_map, dtype=dtype),
+            cfg.num_heads)
+    elif cfg.fm_projection is None:
+        if cfg.memory_channels % cfg.num_heads != 0:
+            raise ValueError(
+                "For `none` projection the channel dim must divide num_heads")
+        values = split_heads(feature_map, cfg.num_heads)
+    else:
+        raise ValueError(f"Invalid fm_projection: {cfg.fm_projection}")
+    return AttentionMemory(keys=keys, values=values)
+
+
+def _probability(cfg: AttentionConfig, score: jnp.ndarray) -> jnp.ndarray:
+    if cfg.probability == "softmax":
+        return jax.nn.softmax(score, axis=-1)
+    if cfg.probability == "sigmoid":
+        s = jax.nn.sigmoid(score)
+        return s / jnp.sum(s, axis=-1, keepdims=True)
+    raise ValueError(f"Invalid probability fn: {cfg.probability}")
+
+
+def attend(p: Params, cfg: AttentionConfig, query: jnp.ndarray,
+           memory: AttentionMemory, dtype=None,
+           alignments_dropout_key: Optional[jax.Array] = None,
+           alignments_keep_prob: float = 1.0,
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One attention step.
+
+    Args:
+      query: (B, U) decoder hidden state.
+      memory: precomputed keys/values.
+    Returns:
+      (context, alignments): context (B, context_size); alignments (B, H, L).
+    """
+    proj_q = dense_apply(p["query_layer"], query, dtype=dtype)[:, None, :]
+    if cfg.alignment in ("add_LN", "add"):
+        score = memory.keys + proj_q  # (B, L, U)
+        if cfg.alignment == "add_LN":
+            score = layer_norm_apply(p["ln"], score, activation=jnp.tanh)
+        else:
+            score = jnp.tanh(score)
+        score = score * p["v"]
+        score = split_heads(score, cfg.num_heads).sum(axis=3)  # (B, H, L)
+        if cfg.scale:
+            score = score / p["softmax_temperature"]
+    elif cfg.alignment == "dot":
+        score = memory.keys * proj_q
+        score = split_heads(score, cfg.num_heads).sum(axis=3)
+        score = score / jnp.sqrt(jnp.float32(cfg.num_units / cfg.num_heads))
+    else:
+        raise ValueError(f"Invalid alignment method: {cfg.alignment}")
+
+    alignments = _probability(cfg, score)  # (B, H, L)
+
+    # Attention-map dropout INSIDE the step, train-time only
+    # (ops_rnn.py:696-701; keep prob 0.9 by default).
+    attn_for_context = alignments
+    if alignments_dropout_key is not None and alignments_keep_prob < 1.0:
+        mask = jax.random.bernoulli(
+            alignments_dropout_key, alignments_keep_prob, alignments.shape)
+        attn_for_context = jnp.where(
+            mask, alignments / alignments_keep_prob, 0.0)
+
+    # context_h = alignments_h @ values_h  -> (B, H, D) -> (B, H*D)
+    context = jnp.einsum(
+        "bhl,bhld->bhd",
+        attn_for_context.astype(memory.values.dtype), memory.values,
+        preferred_element_type=jnp.float32)
+    # head-major flatten, same layout as combine_heads on (B, H, 1, D)
+    context = context.reshape(context.shape[0], -1)
+    if cfg.context_layer:
+        context = dense_apply(p["a_layer"], context, dtype=dtype)
+    return context.astype(jnp.float32), alignments

@@ -1,0 +1,132 @@
+"""Primitive layers: initializers, dense, layer norm, head reshapes.
+
+Pure functions over explicit parameter pytrees (nested dicts of jnp arrays).
+Replaces the reference's variable-scope primitives
+(/root/reference/common/ops.py:184-312 linear/layer_norm_activate and
+/root/reference/common/ops_rnn.py:246-280 split/combine heads) with a
+functional, jit/vmap/pjit-friendly design.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# --- initializers ---------------------------------------------------------
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    """slim.xavier_initializer equivalent (uniform Glorot)."""
+    fan_in, fan_out = _fans(shape)
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def he_uniform(key, shape, dtype=jnp.float32):
+    fan_in, _ = _fans(shape)
+    limit = math.sqrt(6.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def _fans(shape):
+    if len(shape) == 1:
+        return shape[0], shape[0]
+    if len(shape) == 2:
+        return shape
+    # conv kernels HWIO
+    receptive = math.prod(shape[:-2])
+    return shape[-2] * receptive, shape[-1] * receptive
+
+
+def get_initializer(name: Optional[str]) -> Callable:
+    """'xavier' | 'he' | None (TF default for Dense is glorot_uniform too)."""
+    if name in (None, "none", "xavier"):
+        return xavier_uniform
+    if name == "he":
+        return he_uniform
+    raise ValueError(f"Unknown initialiser: {name}")
+
+
+# --- dense ----------------------------------------------------------------
+
+def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
+               init: Callable = xavier_uniform) -> Params:
+    p = {"kernel": init(key, (in_dim, out_dim))}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def dense_apply(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """y = x @ W (+ b). With `dtype` set, the matmul runs in that dtype
+    (bfloat16 on TPU feeds the MXU) and accumulates in float32."""
+    kernel = p["kernel"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    y = jnp.matmul(x, kernel, preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+# --- layer norm -----------------------------------------------------------
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm_apply(p: Params, x: jnp.ndarray, eps: float = 1e-12,
+                     activation: Optional[Callable] = None) -> jnp.ndarray:
+    """LayerNorm over the last axis followed by an optional activation.
+
+    Matches ``layer_norm_activate`` semantics with begin_norm_axis=-1
+    (common/ops.py:241-277); TF's contrib layer_norm uses variance with
+    epsilon=1e-12 by default.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    if activation is not None:
+        y = activation(y)
+    return y.astype(x.dtype)
+
+
+# --- multi-head reshapes (ops_rnn.py:246-280) ------------------------------
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, L, C) -> (B, H, L, C // H)."""
+    b, l, c = x.shape
+    if c % num_heads != 0:
+        raise ValueError(f"Channels {c} not divisible by heads {num_heads}")
+    return x.reshape(b, l, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def combine_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, L, D) -> (B, L, H * D)."""
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+# --- misc -----------------------------------------------------------------
+
+def l2_loss(params, decay: float) -> jnp.ndarray:
+    """decay * sum_v ||v||^2 / 2 over every leaf (ops.py:184-190)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if not leaves or decay <= 0:
+        return jnp.float32(0.0)
+    return decay * sum(0.5 * jnp.sum(jnp.square(v.astype(jnp.float32)))
+                       for v in leaves)
+
+
+def count_params(params) -> int:
+    """Trainable-parameter count (ops.get_model_size, common/ops.py:62-91)."""
+    return sum(int(math.prod(v.shape)) for v in jax.tree_util.tree_leaves(params))
