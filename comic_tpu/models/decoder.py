@@ -203,7 +203,7 @@ def teacher_forced(p: Params, cfg: DecoderConfig, inputs: jnp.ndarray,
         else:
             rngs = StepRNGs()
         logits, align, new_state = step(
-            p, cfg, wv, state, memory, rngs=rngs, training=training,
+            p, cfg, wv, state, memory, rngs=rngs, training=use_dropout,
             dtype=dtype)
         return new_state, (logits, align)
 

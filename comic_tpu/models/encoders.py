@@ -1,0 +1,112 @@
+"""CNN encoder registry.
+
+Functional replacement for the slim nets_factory
+(/root/reference/common/nets/nets_factory.py:116-159) plus the reference's
+`_encoder` wrapper (/root/reference/src/model_base.py:56-104): produces the
+pooled image embedding and the flattened attention feature map.
+
+Round-1 scope: Inception-V1 (the default and the one used for every
+published number). The registry is data-driven so further slim-zoo encoders
+(inception_v2/v3, resnet, mobilenet, ...) plug in as (init, apply, meta)
+triples.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import inception_v1
+from .layers import dense_apply, dense_init, layer_norm_apply, layer_norm_init
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class EncoderSpec:
+    name: str
+    init: Callable[[jax.Array], Params]
+    apply: Callable[..., Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]
+    pooled: Callable[[jnp.ndarray], jnp.ndarray]
+    default_image_size: int
+    feature_dim: int  # pooled embedding size
+    default_fm_endpoint: str
+    fm_channels: Dict[str, int]  # endpoint -> channel count
+    preprocessing: str  # 'inception' | 'vgg' (see data/preprocessing.py)
+
+
+_REGISTRY: Dict[str, EncoderSpec] = {}
+
+
+def register(spec: EncoderSpec) -> None:
+    _REGISTRY[spec.name] = spec
+
+
+def get_encoder(name: str) -> EncoderSpec:
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"Name of network unknown {name}. Known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def available_encoders():
+    return sorted(_REGISTRY)
+
+
+register(EncoderSpec(
+    name="inception_v1",
+    init=inception_v1.init_params,
+    apply=inception_v1.apply,
+    pooled=inception_v1.pooled_features,
+    default_image_size=inception_v1.DEFAULT_IMAGE_SIZE,
+    feature_dim=inception_v1.FEATURE_DIM,
+    default_fm_endpoint="Mixed_4f",
+    fm_channels={
+        "Mixed_3c": 480, "Mixed_4b": 512, "Mixed_4c": 512, "Mixed_4d": 512,
+        "Mixed_4e": 528, "Mixed_4f": 832, "Mixed_5b": 832, "Mixed_5c": 1024,
+    },
+    preprocessing="inception",
+))
+
+
+# --- the reference's `_encoder` (model_base.py:56-104) ---------------------
+
+def encoder_init(key, cnn_name: str, legacy: bool = False) -> Params:
+    """CNN params (+ legacy LN-tanh/linear image-embed head, :80-91)."""
+    spec = get_encoder(cnn_name)
+    k1, k2 = jax.random.split(key)
+    p: Params = {"cnn": spec.init(k1)}
+    if legacy:
+        p["LN_tanh"] = layer_norm_init(spec.feature_dim)
+        p["im_embed"] = dense_init(k2, spec.feature_dim, 1024, use_bias=False)
+    return p
+
+
+def encode_images(
+    params: Params,
+    images: jnp.ndarray,
+    cnn_name: str,
+    fm_endpoint: Optional[str] = None,
+    legacy: bool = False,
+    dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """images (B, H, W, 3) -> (im_embed (B, E), fmaps (B, H'*W', C)).
+
+    The attention memory is the chosen endpoint reshaped NHWC -> (B, L, C)
+    (model_base.py:93-104). BN always runs in inference mode regardless of
+    training stage (model_base.py:72-76).
+    """
+    spec = get_encoder(cnn_name)
+    fm_endpoint = fm_endpoint or spec.default_fm_endpoint
+    net, end_points = spec.apply(params["cnn"], images, dtype=dtype)
+    im_embed = spec.pooled(net)
+    if legacy:
+        im_embed = layer_norm_apply(params["LN_tanh"], im_embed,
+                                    activation=jnp.tanh)
+        im_embed = dense_apply(params["im_embed"], im_embed, dtype=dtype)
+    fm = end_points[fm_endpoint]
+    b, h, w, c = fm.shape
+    return im_embed, fm.reshape(b, h * w, c)

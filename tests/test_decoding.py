@@ -1,0 +1,192 @@
+"""Decode-search tests: greedy vs manual, beam vs exhaustive, EOS handling.
+
+Runs on a tiny decoder over synthetic attention memory (no CNN) via the
+*_from_memory entry points.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comic_tpu.models.attention import AttentionConfig, precompute
+from comic_tpu.models.captioner import ModelSpec
+from comic_tpu.models.decoder import (
+    DecoderConfig,
+    decoder_init,
+    embed_ids,
+    initial_state,
+    step,
+)
+from comic_tpu.decoding import (
+    beam_search_from_memory,
+    greedy_or_sample_from_memory,
+)
+
+V = 5  # softmax size; start=3, end=4
+START, END = 3, 4
+
+
+def _spec(num_heads=2, mem_ch=8):
+    attn = AttentionConfig(num_units=8, num_heads=num_heads,
+                           memory_channels=mem_ch, fm_projection="tied")
+    dec = DecoderConfig(
+        token_type="word", softmax_size=V, rnn_name="LSTM", rnn_size=8,
+        word_size=4, init_method="first_input", image_embed_size=6,
+        attention=attn, start_id=START, end_id=END)
+    return ModelSpec(cnn_name="inception_v1", fm_endpoint="Mixed_4f",
+                     legacy=False, decoder=dec, token_type="word",
+                     radix_base=None, compute_dtype=None)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = _spec()
+    p = decoder_init(jax.random.PRNGKey(42), spec.decoder)
+    rng = np.random.default_rng(7)
+    B, L = 3, 6
+    im = jnp.asarray(rng.normal(size=(B, 6)).astype(np.float32))
+    fm = jnp.asarray(rng.normal(size=(B, L, 8)).astype(np.float32))
+    mem = precompute(p["attention"], spec.decoder.attention, fm)
+    return spec, p, im, mem
+
+
+def _manual_greedy(spec, p, im, mem, max_steps):
+    """Step-by-step greedy loop in plain Python."""
+    B = im.shape[0]
+    st = initial_state(p, spec.decoder, im)
+    prev = jnp.full((B,), START, jnp.int32)
+    finished = np.zeros(B, bool)
+    rows = [[] for _ in range(B)]
+    for _ in range(max_steps):
+        wv = embed_ids(p, spec.decoder, prev)
+        logits, _, st = step(p, spec.decoder, wv, st, mem)
+        nxt = np.argmax(np.asarray(logits), -1)
+        for b in range(B):
+            rows[b].append(-1 if finished[b] else int(nxt[b]))
+        finished |= nxt == END
+        prev = jnp.asarray(nxt, jnp.int32)
+        if finished.all():
+            break
+    for r in rows:
+        r.extend([-1] * (max_steps - len(r)))
+    return np.asarray(rows)
+
+
+class TestGreedy:
+    def test_matches_manual(self, setup):
+        spec, p, im, mem = setup
+        T = 8
+        out = greedy_or_sample_from_memory(p, spec, im, mem, max_steps=T)
+        want = _manual_greedy(spec, p, im, mem, T)
+        got = np.asarray(out.ids)
+        # positions after all-finished early exit stay PAD in both
+        np.testing.assert_array_equal(got, want)
+
+    def test_alignment_shapes(self, setup):
+        spec, p, im, mem = setup
+        out = greedy_or_sample_from_memory(p, spec, im, mem, max_steps=4)
+        assert out.alignments.shape == (3, 2, 4, 6)  # (B, H, T, L)
+
+    def test_sampling_reproducible_and_varied(self, setup):
+        spec, p, im, mem = setup
+        k = jax.random.PRNGKey(1)
+        o1 = greedy_or_sample_from_memory(p, spec, im, mem, max_steps=6,
+                                          sample=True, rng=k)
+        o2 = greedy_or_sample_from_memory(p, spec, im, mem, max_steps=6,
+                                          sample=True, rng=k)
+        np.testing.assert_array_equal(o1.ids, o2.ids)
+        o3 = greedy_or_sample_from_memory(p, spec, im, mem, max_steps=6,
+                                          sample=True,
+                                          rng=jax.random.PRNGKey(2))
+        assert not np.array_equal(np.asarray(o1.ids), np.asarray(o3.ids))
+
+
+def _exhaustive_best(spec, p, im, mem, max_steps):
+    """Enumerate every hypothesis and return the max-log-prob one per item."""
+    B = im.shape[0]
+    best = [(-np.inf, None)] * B
+
+    def seq_logprob(tokens):
+        st = initial_state(p, spec.decoder, im)
+        prev = jnp.full((B,), START, jnp.int32)
+        total = np.zeros(B)
+        for t, tok in enumerate(tokens):
+            wv = embed_ids(p, spec.decoder, prev)
+            logits, _, st = step(p, spec.decoder, wv, st, mem)
+            logp = np.asarray(jax.nn.log_softmax(logits, -1))
+            total += logp[:, tok]
+            prev = jnp.full((B,), tok, jnp.int32)
+        return total
+
+    # hypotheses: token strings over {0,1,2} terminated by END (or full len)
+    alphabet = [0, 1, 2]
+    hyps = []
+    for length in range(1, max_steps):
+        for pre in itertools.product(alphabet, repeat=length):
+            hyps.append(tuple(pre) + (END,))
+    hyps.extend(tuple(s) for s in itertools.product(alphabet, repeat=max_steps))
+    # also immediate END
+    hyps.append((END,))
+    for hyp in hyps:
+        lp = seq_logprob(hyp)
+        for b in range(B):
+            if lp[b] > best[b][0]:
+                best[b] = (lp[b], hyp)
+    return best
+
+
+class TestBeam:
+    def test_beam1_equals_greedy(self, setup):
+        spec, p, im, mem = setup
+        T = 8
+        g = greedy_or_sample_from_memory(p, spec, im, mem, max_steps=T)
+        top, _ = beam_search_from_memory(p, spec, im, mem, beam_size=1,
+                                         max_steps=T)
+        g_ids = np.asarray(g.ids)
+        b_ids = np.asarray(top.ids)
+        for b in range(g_ids.shape[0]):
+            # compare up to and including EOS; beam pads with END after
+            g_row = [t for t in g_ids[b] if t >= 0]
+            b_row = list(b_ids[b][: len(g_row)])
+            assert g_row == b_row, (g_row, b_row)
+
+    def test_wide_beam_finds_exhaustive_optimum(self, setup):
+        spec, p, im, mem = setup
+        T = 3
+        # beam of 16 >= 4^2 candidate prefixes -> exact search at T=3
+        top, _ = beam_search_from_memory(p, spec, im, mem, beam_size=16,
+                                         max_steps=T)
+        best = _exhaustive_best(spec, p, im, mem, T)
+        for b, (lp, hyp) in enumerate(best):
+            np.testing.assert_allclose(float(top.scores[b]), lp, rtol=1e-4)
+            got = list(np.asarray(top.ids)[b][: len(hyp)])
+            assert tuple(got) == hyp, (b, got, hyp)
+
+    def test_all_beams_layout_and_order(self, setup):
+        spec, p, im, mem = setup
+        top, all_beams = beam_search_from_memory(p, spec, im, mem,
+                                                 beam_size=4, max_steps=5)
+        assert all_beams["ids"].shape == (4, 3, 5)  # (beam, batch, time)
+        scores = np.asarray(all_beams["scores"])  # (beam, batch)
+        assert (np.diff(scores, axis=0) <= 1e-6).all()  # best-first
+        np.testing.assert_array_equal(all_beams["ids"][0], np.asarray(top.ids))
+
+    def test_length_penalty_changes_scores(self, setup):
+        spec, p, im, mem = setup
+        t0, _ = beam_search_from_memory(p, spec, im, mem, beam_size=3,
+                                        max_steps=6, length_penalty=0.0)
+        t1, _ = beam_search_from_memory(p, spec, im, mem, beam_size=3,
+                                        max_steps=6, length_penalty=2.0)
+        assert not np.allclose(np.asarray(t0.scores), np.asarray(t1.scores))
+
+    def test_finished_beams_locked_to_eos(self, setup):
+        spec, p, im, mem = setup
+        top, _ = beam_search_from_memory(p, spec, im, mem, beam_size=3,
+                                         max_steps=10)
+        ids = np.asarray(top.ids)
+        for row, n in zip(ids, np.asarray(top.lengths)):
+            after = row[int(n):]
+            assert (after == END).all()
