@@ -1,0 +1,295 @@
+"""Batched input pipelines with static-shape bucketing and threaded prefetch.
+
+Re-design of the reference InputManager family
+(/root/reference/common/inputs/manager_image_caption.py:27-509) for XLA:
+
+  - `bucket_by_sequence_length` with dynamic padding becomes PAD-TO-BUCKET
+    static shapes: each batch is padded to one of a fixed set of bucket
+    widths, so the whole training job compiles a handful of graphs instead
+    of one per sequence length.
+  - the tf.data generator/prefetch stack becomes a plain Python loader with
+    a worker pool decoding+resizing images on the host and a bounded queue
+    (prefetch) in front of the device step; images cross to the device as
+    uint8 and are augmented on device (data/preprocessing.py).
+  - epoch shuffling, eval-batch divisibility, `max_step` derivation, and
+    bucket boundaries ([11,13,15] COCO words, [7,10,13] Insta, char
+    [45,55,70]/[29,42,61], radix x digit width) match the reference
+    (:83-86, :141-145, :231-357).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..configuration import Config
+from ..tokenization import RadixCodec, Vocabulary, build_char_vocab, encode_caption_tokens
+from . import captions as cap_io
+from .preprocessing import RESIZE_SIZE, load_and_resize_host
+
+PAD_ID = -1
+
+
+def bucket_boundaries(config: Config, vocab: Vocabulary,
+                      caption_len_thres: int = 20) -> List[int]:
+    """Sequence-length bucket upper bounds, plus a static overflow bucket.
+
+    The first three bounds are the reference's bucket boundaries
+    (COCO word [11,13,15], Insta [7,10,13], char [45,55,70]/[29,42,61],
+    radix = word bounds x digit width — manager_image_caption.py:83-86,
+    :246-247, :293-296). The reference dynamic-pads within each bucket; XLA
+    wants static shapes, so each batch pads UP to its bucket bound, and the
+    overflow bucket is capped at the longest possible caption
+    (caption_len_thres words + GO/EOS).
+    """
+    pattern = config.dataset_file_pattern or ""
+    is_insta = "insta" in pattern
+    if config.token_type == "char":
+        bounds = [29, 42, 61] if is_insta else [45, 55, 70]
+        return bounds + [caption_len_thres * 6 + 2]
+    words = [7, 10, 13] if is_insta else [11, 13, 15]
+    if config.token_type == "radix":
+        width = RadixCodec(len(vocab), config.radix_base).word_len
+        return [b * width for b in words] + [caption_len_thres * width + 2]
+    return words + [caption_len_thres + 2]
+
+
+def pick_bucket(length: int, bounds: Sequence[int]) -> int:
+    for i, b in enumerate(bounds):
+        if length <= b:
+            return i
+    return len(bounds) - 1
+
+
+def pad_rows(rows: Sequence[np.ndarray], width: int) -> np.ndarray:
+    out = np.full((len(rows), width), PAD_ID, np.int32)
+    for i, r in enumerate(rows):
+        out[i, : min(len(r), width)] = r[:width]
+    return out
+
+
+class _ImageLoaderPool:
+    """Thread pool turning filepaths into resized uint8 images."""
+
+    def __init__(self, num_workers: int = 8):
+        self.num_workers = num_workers
+
+    def load(self, paths: Sequence[str]) -> np.ndarray:
+        out = np.empty((len(paths), RESIZE_SIZE, RESIZE_SIZE, 3), np.uint8)
+        if len(paths) == 1:
+            out[0] = load_and_resize_host(paths[0])
+            return out
+        threads = []
+        chunk = max(1, len(paths) // self.num_workers)
+
+        def work(lo, hi):
+            for i in range(lo, hi):
+                out[i] = load_and_resize_host(paths[i])
+
+        for lo in range(0, len(paths), chunk):
+            t = threading.Thread(target=work, args=(lo, min(lo + chunk, len(paths))))
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
+        return out
+
+
+def _prefetch(gen: Iterator, depth: int) -> Iterator:
+    """Run `gen` in a background thread with a bounded queue."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+class TrainPipeline:
+    """Training/eval batches of (images_u8, caption_ids).
+
+    One instance per split. Mirrors InputManager/_Radix/_Char semantics and
+    mutates the config with derived fields (split_sizes, max_step) the same
+    way the reference does (manager_image_caption.py:55,132,141).
+    """
+
+    def __init__(self, config: Config, vocab: Vocabulary, split: str,
+                 records: Optional[List[Tuple[str, List[str]]]] = None,
+                 num_workers: int = 8, seed: Optional[int] = None):
+        self.config = config
+        self.split = split
+        self.is_training = "train" in split
+        if config.token_type == "char":
+            vocab = build_char_vocab()
+            config.wtoi, config.itow = vocab.wtoi, dict(vocab.itow)
+            config.vocab_size = len(vocab.itow)
+        self.vocab = vocab
+        if records is None:
+            records = cap_io.read_caption_file(cap_io.caption_file_path(
+                config.dataset_dir, config.dataset_file_pattern, split))
+        self.records = records
+        self.bounds = bucket_boundaries(config, vocab)
+        self.batch_size = (config.batch_size_train if self.is_training
+                           else config.batch_size_eval)
+        self.loader = _ImageLoaderPool(num_workers)
+        self.rng = random.Random(
+            seed if seed is not None else config.rand_seed)
+
+        if config.split_sizes is None:
+            config.split_sizes = {}
+        config.split_sizes[split] = len(records)
+        if self.is_training:
+            config.max_step = int(
+                len(records) / self.batch_size * config.max_epoch)
+        else:
+            # eval split must tile exactly (manager:123,145; train_fn.py:326)
+            if len(records) % self.batch_size != 0:
+                raise ValueError(
+                    f"Eval batch size {self.batch_size} must divide eval "
+                    f"split size {len(records)}")
+
+        # Pre-encode captions once (cheap, avoids per-epoch re-tokenization).
+        self._encoded: List[np.ndarray] = [
+            encode_caption_tokens(toks, config.token_type, vocab,
+                                  config.radix_base)
+            for _, toks in records
+        ]
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return len(self.records) // self.batch_size
+
+    def _epoch_order(self) -> List[int]:
+        order = list(range(len(self.records)))
+        if self.is_training:
+            self.rng.shuffle(order)
+        return order
+
+    def _batches_of_indices(self) -> Iterator[List[int]]:
+        """Yield bucket-homogeneous index batches covering one epoch."""
+        buckets: List[List[int]] = [[] for _ in self.bounds]
+        for idx in self._epoch_order():
+            b = pick_bucket(len(self._encoded[idx]), self.bounds)
+            buckets[b].append(idx)
+            if len(buckets[b]) == self.batch_size:
+                yield buckets[b]
+                buckets[b] = []
+        if not self.is_training:
+            # eval: flush leftovers as mixed batches, padded to max bound
+            rest = [i for b in buckets for i in b]
+            for lo in range(0, len(rest), self.batch_size):
+                chunk = rest[lo: lo + self.batch_size]
+                if chunk:
+                    yield chunk
+
+    def _make_batch(self, idxs: List[int]) -> Tuple[np.ndarray, np.ndarray]:
+        rows = [self._encoded[i] for i in idxs]
+        width = self.bounds[max(pick_bucket(len(r), self.bounds) for r in rows)]
+        caps = pad_rows(rows, width)
+        paths = [cap_io.pjoin(self.config.dataset_dir, self.records[i][0])
+                 for i in idxs]
+        images = self.loader.load(paths)
+        return images, caps
+
+    def epoch(self, prefetch_depth: int = 4
+              ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        gen = (self._make_batch(idxs) for idxs in self._batches_of_indices())
+        return _prefetch(gen, prefetch_depth)
+
+    def __iter__(self):
+        while True:
+            yield from self.epoch()
+
+
+class ScstPipeline:
+    """SCST batches: (images_u8, list of per-image reference strings).
+
+    No bucketing, remainder dropped (manager_image_caption.py:360-474).
+    """
+
+    def __init__(self, config: Config, vocab: Vocabulary,
+                 records: Optional[List[Tuple[str, List[str]]]] = None,
+                 num_workers: int = 8, seed: Optional[int] = None):
+        self.config = config
+        self.vocab = vocab
+        if records is None:
+            raw = cap_io.read_caption_file(cap_io.caption_file_path(
+                config.dataset_dir, config.dataset_file_pattern, "train"))
+            records = cap_io.group_by_image(raw)
+        self.records = records
+        self.batch_size = config.batch_size_train
+        self.loader = _ImageLoaderPool(num_workers)
+        self.rng = random.Random(
+            seed if seed is not None else config.rand_seed)
+        if config.split_sizes is None:
+            config.split_sizes = {}
+        config.split_sizes["train"] = len(records)
+        config.max_step = int(
+            len(records) / self.batch_size * config.max_epoch)
+
+    def epoch(self, prefetch_depth: int = 4):
+        order = list(range(len(self.records)))
+        self.rng.shuffle(order)
+
+        def gen():
+            for lo in range(0, len(order) - self.batch_size + 1,
+                            self.batch_size):
+                idxs = order[lo: lo + self.batch_size]
+                paths = [cap_io.pjoin(self.config.dataset_dir,
+                                      self.records[i][0]) for i in idxs]
+                refs = [self.records[i][1] for i in idxs]
+                yield self.loader.load(paths), refs
+
+        return _prefetch(gen(), prefetch_depth)
+
+    def __iter__(self):
+        while True:
+            yield from self.epoch()
+
+
+class InferencePipeline:
+    """Inference batches: (images_u8, filepaths). Requires the file count to
+    tile the batch size exactly (manager_image_caption.py:64-80)."""
+
+    def __init__(self, config: Config, files: Optional[List[str]] = None,
+                 num_workers: int = 8):
+        self.config = config
+        if files is None:
+            files = cap_io.infer_file_list(
+                config.dataset_dir, config.infer_set,
+                config.dataset_file_pattern)
+        self.files = files
+        self.batch_size = config.batch_size_infer
+        if len(files) % self.batch_size != 0:
+            raise ValueError(
+                f"Infer batch size {self.batch_size} must divide file "
+                f"count {len(files)}")
+        self.loader = _ImageLoaderPool(num_workers)
+
+    def __iter__(self):
+        def gen():
+            for lo in range(0, len(self.files), self.batch_size):
+                chunk = self.files[lo: lo + self.batch_size]
+                paths = [cap_io.pjoin(self.config.dataset_dir, f)
+                         for f in chunk]
+                yield self.loader.load(paths), chunk
+
+        return _prefetch(gen(), 4)
+
+    def __len__(self):
+        return len(self.files) // self.batch_size

@@ -1,0 +1,155 @@
+"""Image preprocessing: host decode/resize + fused on-device augmentation.
+
+Behavioral contract (the reference's actual preprocessing for every
+inception/mobilenet/nasnet encoder —
+/root/reference/common/inputs/preprocessing/inception_preprocessing_radix.py:
+240-278 entry, :158-201 train, :204-237 eval):
+
+  float [0,1] -> bilinear resize 256x256 ->
+    train: random horizontal flip -> random HxW crop -> (x - .5) * 2
+    eval:  central crop-or-pad to HxW          -> (x - .5) * 2
+
+TPU-first split: JPEG decode and the variable-shape resize happen on the
+host (cv2/PIL, threaded loader); everything from the fixed 256x256 uint8
+image onward is ONE jitted batched function on device, so the host->device
+transfer is 3 uint8 channels and XLA fuses flip+crop+scale into a single
+pass. Per-image randomness comes from a single JAX key via vmap.
+
+`resize_bilinear_tf1` reproduces TF1's `tf.image.resize_bilinear`
+(align_corners=False, asymmetric coordinate mapping) for checkpoint-parity
+work; the host loader's cv2 resize (half-pixel centers) differs by <1 LSB on
+natural images and is the default for speed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RESIZE_SIZE = 256
+# ImageNet BGR means used by the reference's vgg_preprocessing for
+# ResNet/VGG encoders (vgg_preprocessing.py:286-365).
+VGG_MEANS_RGB = (123.68, 116.779, 103.939)
+
+
+# --------------------------------------------------------------------------
+# Device-side ops
+# --------------------------------------------------------------------------
+
+def resize_bilinear_tf1(image: jnp.ndarray, out_h: int, out_w: int
+                        ) -> jnp.ndarray:
+    """Bilinear resize with TF1 align_corners=False semantics.
+
+    src = dst * (in / out); edge clamped. Operates on (H, W, C) float.
+    """
+    in_h, in_w = image.shape[0], image.shape[1]
+
+    def axis_coords(out_n, in_n):
+        scale = in_n / out_n
+        src = jnp.arange(out_n, dtype=jnp.float32) * scale
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_n - 1)
+        frac = src - lo.astype(jnp.float32)
+        return lo, hi, frac
+
+    ylo, yhi, yf = axis_coords(out_h, in_h)
+    xlo, xhi, xf = axis_coords(out_w, in_w)
+    img = image.astype(jnp.float32)
+    top = img[ylo][:, xlo] * (1 - xf)[None, :, None] \
+        + img[ylo][:, xhi] * xf[None, :, None]
+    bot = img[yhi][:, xlo] * (1 - xf)[None, :, None] \
+        + img[yhi][:, xhi] * xf[None, :, None]
+    return top * (1 - yf)[:, None, None] + bot * yf[:, None, None]
+
+
+def central_crop_or_pad(image: jnp.ndarray, out_h: int, out_w: int
+                        ) -> jnp.ndarray:
+    """tf.image.resize_image_with_crop_or_pad: center crop, pad with zeros."""
+    h, w, c = image.shape
+    # crop
+    off_h = max((h - out_h) // 2, 0)
+    off_w = max((w - out_w) // 2, 0)
+    cropped = jax.lax.dynamic_slice(
+        image, (off_h, off_w, 0),
+        (min(h, out_h), min(w, out_w), c))
+    # pad
+    pad_h = out_h - cropped.shape[0]
+    pad_w = out_w - cropped.shape[1]
+    if pad_h > 0 or pad_w > 0:
+        cropped = jnp.pad(
+            cropped,
+            ((pad_h // 2, pad_h - pad_h // 2),
+             (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+    return cropped
+
+
+def _augment_one(image01: jnp.ndarray, key: jax.Array, out_h: int, out_w: int
+                 ) -> jnp.ndarray:
+    """Random flip + random crop for one [0,1] float image (train path)."""
+    k_flip, k_y, k_x = jax.random.split(key, 3)
+    image01 = jnp.where(
+        jax.random.bernoulli(k_flip), image01[:, ::-1, :], image01)
+    h, w = image01.shape[0], image01.shape[1]
+    off_y = jax.random.randint(k_y, (), 0, h - out_h + 1)
+    off_x = jax.random.randint(k_x, (), 0, w - out_w + 1)
+    return jax.lax.dynamic_slice(image01, (off_y, off_x, 0),
+                                 (out_h, out_w, 3))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def preprocess_batch(images_u8: jnp.ndarray, key: jax.Array,
+                     out_h: int, out_w: int, training: bool) -> jnp.ndarray:
+    """(B, 256, 256, 3) uint8 -> (B, out_h, out_w, 3) float32 in [-1, 1].
+
+    The single fused device kernel of the input pipeline.
+    """
+    imgs = images_u8.astype(jnp.float32) / 255.0
+    if training:
+        keys = jax.random.split(key, images_u8.shape[0])
+        imgs = jax.vmap(_augment_one, in_axes=(0, 0, None, None))(
+            imgs, keys, out_h, out_w)
+    else:
+        imgs = jax.vmap(central_crop_or_pad, in_axes=(0, None, None))(
+            imgs, out_h, out_w)
+    return (imgs - 0.5) * 2.0
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def preprocess_batch_vgg(images_u8: jnp.ndarray, out_h: int, out_w: int
+                         ) -> jnp.ndarray:
+    """VGG/ResNet eval path: central crop then RGB mean subtraction
+    (vgg_preprocessing.py:286-365), on 0-255 scale."""
+    imgs = images_u8.astype(jnp.float32)
+    imgs = jax.vmap(central_crop_or_pad, in_axes=(0, None, None))(
+        imgs, out_h, out_w)
+    return imgs - jnp.asarray(VGG_MEANS_RGB)
+
+
+# --------------------------------------------------------------------------
+# Host-side decode/resize
+# --------------------------------------------------------------------------
+
+def load_and_resize_host(path: str, size: int = RESIZE_SIZE) -> np.ndarray:
+    """Decode an image file and bilinear-resize to (size, size, 3) uint8 RGB.
+
+    cv2 when available (C++ decode + SIMD resize), PIL fallback.
+    """
+    try:
+        import cv2
+
+        data = np.fromfile(path, np.uint8)
+        img = cv2.imdecode(data, cv2.IMREAD_COLOR)  # BGR
+        if img is None:
+            raise ValueError(f"Could not decode image: {path}")
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+        return img[:, :, ::-1].copy()  # BGR -> RGB
+    except ImportError:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+            return np.asarray(im, np.uint8)
