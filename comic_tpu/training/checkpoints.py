@@ -1,0 +1,188 @@
+"""Checkpointing: dual full/compact savers with retention, natural sort.
+
+Mirrors the reference's checkpoint contract (SURVEY.md §5; train_fn.py:66-70,
+130-132; infer.py:90-97; model_base.py:422-490):
+
+  - ``model-<step>`` — full training state (params + optimizer + step),
+    keep the 2 most recent;
+  - ``model_compact-<step>`` — model params only, keep ``max_saves`` (12);
+  - inference enumerates compact checkpoints in natural (numeric) order and
+    evaluates the last 12 when more than 20 exist;
+  - 3-way restore: full resume / model-only (minus excluded scopes) /
+    CNN-only into the encoder subtree.
+
+Serialization is flax msgpack (single file per checkpoint, atomic rename).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..utils.natural_sort import natural_key
+from .optimizer import _normalize_scopes, path_string
+
+Params = Dict[str, Any]
+
+FULL_PREFIX = "model-"
+COMPACT_PREFIX = "model_compact-"
+_SUFFIX = ".msgpack"
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def _prune(directory: str, prefix: str, keep: int) -> None:
+    ckpts = list_checkpoints(directory, prefix)
+    for p in ckpts[:-keep] if keep > 0 else []:
+        try:
+            os.remove(os.path.join(directory, p + _SUFFIX))
+        except OSError:
+            pass
+
+
+def list_checkpoints(directory: str, prefix: str = COMPACT_PREFIX
+                     ) -> List[str]:
+    """Checkpoint basenames (no suffix), natural-sorted ascending."""
+    if not os.path.isdir(directory):
+        return []
+    pat = re.compile(re.escape(prefix) + r"\d+" + re.escape(_SUFFIX) + r"$")
+    names = [f[: -len(_SUFFIX)] for f in os.listdir(directory)
+             if pat.match(f)]
+    return sorted(names, key=natural_key)
+
+
+def checkpoint_step(name: str) -> int:
+    m = re.search(r"(\d+)$", name)
+    return int(m.group(1)) if m else -1
+
+
+def select_eval_checkpoints(directory: str, cap: int = 12,
+                            threshold: int = 20) -> List[str]:
+    """Reference rule: evaluate all compact ckpts, but only the last `cap`
+    when more than `threshold` exist (infer.py:90-97)."""
+    names = list_checkpoints(directory, COMPACT_PREFIX)
+    if len(names) > threshold:
+        names = names[-cap:]
+    return names
+
+
+def save_checkpoint(directory: str, step: int, params: Params,
+                    opt_state: Any = None, *, max_saves: int = 12) -> Tuple[str, str]:
+    """Write both the full and compact checkpoints; returns their paths."""
+    os.makedirs(directory, exist_ok=True)
+    compact = os.path.join(directory, f"{COMPACT_PREFIX}{step}{_SUFFIX}")
+    _atomic_write(compact, serialization.to_bytes(_to_numpy(params)))
+    full = os.path.join(directory, f"{FULL_PREFIX}{step}{_SUFFIX}")
+    state = {"params": _to_numpy(params), "step": np.int64(step)}
+    if opt_state is not None:
+        state["opt_state"] = _to_numpy(opt_state)
+    _atomic_write(full, serialization.to_bytes(state))
+    _prune(directory, COMPACT_PREFIX, max_saves)
+    _prune(directory, FULL_PREFIX, 2)
+    return full, compact
+
+
+def load_compact(path_or_dir: str, template: Params) -> Params:
+    """Load a compact checkpoint into the shape of `template`."""
+    path = _resolve(path_or_dir, COMPACT_PREFIX)
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def load_full(path_or_dir: str, template_state: Dict[str, Any]
+              ) -> Dict[str, Any]:
+    path = _resolve(path_or_dir, FULL_PREFIX)
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template_state, f.read())
+
+
+def _resolve(path_or_dir: str, prefix: str) -> str:
+    if os.path.isfile(path_or_dir):
+        return path_or_dir
+    if os.path.isfile(path_or_dir + _SUFFIX):
+        return path_or_dir + _SUFFIX
+    names = list_checkpoints(path_or_dir, prefix)
+    if not names:
+        raise FileNotFoundError(
+            f"No {prefix}* checkpoints under {path_or_dir}")
+    return os.path.join(path_or_dir, names[-1] + _SUFFIX)
+
+
+def restore_with_excludes(params: Params, restored: Params,
+                          exclude_scopes: Optional[str]) -> Params:
+    """Merge `restored` into `params`, skipping excluded scopes
+    (model_base.py:452-470 filter_variables semantics, regex search)."""
+    scopes = _normalize_scopes(exclude_scopes)
+    if not scopes:
+        return restored
+    pats = [re.compile(sc) for sc in scopes]
+
+    def merge(path, old, new):
+        s = path_string(path)
+        return old if any(p.search(s) for p in pats) else new
+
+    return jax.tree_util.tree_map_with_path(merge, params, restored)
+
+
+def restore_model(params: Params, checkpoint_path: Optional[str], *,
+                  resume: bool = False,
+                  exclude_scopes: Optional[str] = None,
+                  opt_state: Any = None,
+                  ) -> Tuple[Params, Any, int, str]:
+    """The reference's 3-way restore (model_base.py:422-490).
+
+    Returns (params, opt_state, start_step, mode) where mode is one of
+    'scratch' | 'resume' | 'model' | 'cnn'.
+    """
+    if not checkpoint_path:
+        return params, opt_state, 0, "scratch"
+
+    if resume and not exclude_scopes:
+        state_tpl = {"params": params, "step": np.int64(0)}
+        if opt_state is not None:
+            state_tpl["opt_state"] = opt_state
+        state = load_full(checkpoint_path, state_tpl)
+        return (state["params"], state.get("opt_state", opt_state),
+                int(state["step"]), "resume")
+
+    try:
+        restored = load_compact(checkpoint_path, params)
+        merged = restore_with_excludes(params, restored, exclude_scopes)
+        return merged, opt_state, 0, "model"
+    except (FileNotFoundError, ValueError):
+        pass
+
+    # CNN-only restore: a converted slim checkpoint holding just the
+    # encoder/cnn subtree (model_base.py:471-484).
+    cnn_tpl = params["encoder"]["cnn"]
+    path = checkpoint_path
+    if os.path.isdir(path):
+        cands = [f for f in os.listdir(path) if f.endswith(_SUFFIX)]
+        if not cands:
+            raise FileNotFoundError(f"No checkpoint under {path}")
+        path = os.path.join(path, sorted(cands)[-1])
+    with open(path, "rb") as f:
+        cnn = serialization.from_bytes(cnn_tpl, f.read())
+    out = dict(params)
+    out["encoder"] = dict(params["encoder"])
+    out["encoder"]["cnn"] = cnn
+    return out, opt_state, 0, "cnn"
+
+
+def save_cnn_checkpoint(path: str, cnn_params: Params) -> None:
+    """Write an encoder-only checkpoint (the pretrained-CNN artifact)."""
+    _atomic_write(path, serialization.to_bytes(_to_numpy(cnn_params)))

@@ -1,0 +1,137 @@
+"""Optimizer assembly: Adam/SGD + freezing + CNN grad multiplier + clipping.
+
+Functional equivalent of the reference's optimizer plumbing
+(/root/reference/src/model_base.py:834-883 _get_optimiser/_get_trainable_vars
+and :387-401 create_train_op): scope-regex freezing becomes a pytree path
+mask, the CNN gradient multiplier becomes a masked scale transform, and
+everything composes as an optax chain.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Params = Dict[str, Any]
+
+
+def path_string(path) -> str:
+    """tree path -> 'encoder/cnn/Conv2d_1a_7x7/weights' style string."""
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _normalize_scopes(scopes: Optional[str]) -> Sequence[str]:
+    """Reference scopes like 'Model/encoder/cnn' -> our root-less paths."""
+    if not scopes:
+        return []
+    out = []
+    for sc in scopes.split(","):
+        sc = sc.strip()
+        if sc.startswith("Model/"):
+            sc = sc[len("Model/"):]
+        if sc and sc != "Model":
+            out.append(sc)
+    return out
+
+
+def trainable_mask(params: Params, freeze_scopes: Optional[str]) -> Params:
+    """True where trainable. Frozen = any path whose string matches one of
+    the freeze scopes by regex search (the reference uses re.search via
+    filter_variables, model_base.py:834-848)."""
+    scopes = _normalize_scopes(freeze_scopes)
+    if not scopes:
+        return jax.tree_util.tree_map(lambda _: True, params)
+    pats = [re.compile(sc) for sc in scopes]
+
+    def leaf_mask(path, _):
+        s = path_string(path)
+        return not any(p.search(s) for p in pats)
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
+def scope_mask(params: Params, include: str) -> Params:
+    """True for leaves under paths matching `include` (regex search)."""
+    pat = re.compile(include)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: bool(pat.search(path_string(path))), params)
+
+
+def masked_l2_loss(params: Params, mask: Params, decay: float) -> jnp.ndarray:
+    """L2 over trainable leaves only: decay * sum ||v||^2 / 2
+    (model_base.py:367-381, ops.py:184-190)."""
+    if decay <= 0:
+        return jnp.float32(0.0)
+    leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda v, m: 0.5 * jnp.sum(jnp.square(v.astype(jnp.float32)))
+            if m else jnp.float32(0.0),
+            params, mask))
+    return decay * sum(leaves)
+
+
+def _scale_subtree(multiplier: float, mask: Params) -> optax.GradientTransformation:
+    def init(_):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return (
+            jax.tree_util.tree_map(
+                lambda g, m: g * multiplier if m else g, updates, mask),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(
+    params: Params,
+    learning_rate: Callable,
+    *,
+    optimiser: str = "adam",
+    adam_epsilon: float = 1e-2,
+    beta1: float = 0.9,
+    freeze_scopes: Optional[str] = None,
+    cnn_grad_multiplier: float = 1.0,
+    clip_gradient_norm: float = 0.0,
+    cnn_scope: str = "encoder/cnn",
+) -> tuple[optax.GradientTransformation, Params]:
+    """-> (optax transformation, trainable mask).
+
+    Chain: [zero frozen grads] -> [cnn multiplier] -> [global-norm clip] ->
+    adam/sgd with the LR schedule. Mirrors create_train_op's ordering
+    (clip then apply; multipliers applied to raw grads).
+    """
+    mask = trainable_mask(params, freeze_scopes)
+    chain = []
+    if freeze_scopes:
+        chain.append(_scale_subtree(0.0, jax.tree_util.tree_map(
+            lambda m: not m, mask)))
+    if cnn_grad_multiplier != 1.0:
+        cmask = scope_mask(params, cnn_scope)
+        chain.append(_scale_subtree(cnn_grad_multiplier, cmask))
+    if clip_gradient_norm and clip_gradient_norm > 0:
+        chain.append(optax.clip_by_global_norm(clip_gradient_norm))
+    if optimiser == "adam":
+        chain.append(optax.adam(learning_rate, b1=beta1, b2=0.999,
+                                eps=adam_epsilon))
+    elif optimiser == "sgd":
+        chain.append(optax.sgd(learning_rate, momentum=0.9))
+    else:
+        raise ValueError("Unknown optimiser.")
+    return optax.chain(*chain), mask

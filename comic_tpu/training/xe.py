@@ -1,0 +1,227 @@
+"""Cross-entropy training: jitted train/eval steps and the stage driver.
+
+TPU-native re-design of the reference XE driver
+(/root/reference/src/train_fn.py:26-147 train_fn + model_base losses):
+one jitted step fuses on-device image augmentation, the CNN forward, the
+scanned decoder, the loss stack (XE + attention-map + masked L2), and the
+optax update; parameters/optimizer state are donated so updates happen
+in-place in HBM. Data parallelism is plain batch sharding over a 1-D mesh —
+parameters are replicated and XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configuration import Config
+from ..data.pipeline import TrainPipeline
+from ..data.preprocessing import preprocess_batch
+from ..data import captions as cap_io
+from ..models.captioner import (
+    ModelSpec,
+    attention_map_loss,
+    build_model_spec,
+    init_params,
+    xe_forward,
+)
+from ..models.layers import count_params
+from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from ..tokenization import Vocabulary, build_char_vocab
+from ..utils.summaries import SummaryWriter
+from . import checkpoints as ckpt
+from .optimizer import build_optimizer, masked_l2_loss
+from .schedule import cosine_schedule, legacy_halving_schedule
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
+                    image_size: Tuple[int, int]):
+    """Build the fused jitted train step.
+
+    (state, images_u8, captions, rng) -> (state, metrics)
+    """
+    h, w = image_size
+    augment = bool(config.cnn_input_augment)
+    map_scale = float(config.rnn_map_loss_scale)
+    l2_decay = float(config.l2_decay)
+
+    def loss_fn(params, images_u8, captions, rng):
+        k_aug, k_drop = jax.random.split(rng)
+        images = preprocess_batch(images_u8, k_aug, h, w, augment)
+        log_ppl, aux = xe_forward(params, spec, images, captions,
+                                  rng=k_drop, training=True)
+        map_loss = attention_map_loss(aux["alignments"], map_scale)
+        reg = masked_l2_loss(params, mask, l2_decay)
+        total = log_ppl + map_loss + reg
+        return total, {"log_ppl": log_ppl, "map_loss": map_loss, "reg": reg}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images_u8, captions, rng):
+        (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images_u8, captions, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        metrics = dict(parts, total_loss=total)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(spec: ModelSpec, config: Config,
+                   image_size: Tuple[int, int]):
+    h, w = image_size
+
+    @jax.jit
+    def eval_step(params, images_u8, captions):
+        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
+                                  False)
+        log_ppl, _ = xe_forward(params, spec, images, captions,
+                                training=False)
+        return log_ppl
+
+    return eval_step
+
+
+def evaluate_perplexity(eval_step, params, pipeline) -> float:
+    """Mean eval log-perplexity over one pass (train_fn.py:320-338)."""
+    losses = []
+    for images, caps in pipeline.epoch():
+        losses.append(float(eval_step(params, jnp.asarray(images),
+                                      jnp.asarray(caps))))
+    return float(np.exp(np.mean(losses))) if losses else float("nan")
+
+
+def _resolve_vocab(config: Config) -> Vocabulary:
+    if config.token_type == "char":
+        return build_char_vocab()
+    if config.wtoi:
+        return Vocabulary.from_str_itow(config.wtoi, config.itow)
+    v = cap_io.load_vocab(config.dataset_dir, config.dataset_file_pattern)
+    config.wtoi = v.wtoi
+    config.itow = {str(k): w for k, w in v.itow.items()}
+    config.vocab_size = len(v.itow)
+    return v
+
+
+def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
+             mesh=None) -> Dict[str, float]:
+    """The XE stage driver (decoder training and cnn_finetune).
+
+    Returns final metrics. Artifacts written into config.log_path: config
+    pickle, model_size.txt, events.jsonl, model-*/model_compact-* ckpts.
+    """
+    vocab = _resolve_vocab(config)
+    spec = build_model_spec(config, vocab)
+
+    train_pipe = TrainPipeline(config, vocab, "train")
+    eval_pipe = TrainPipeline(config, vocab, "valid")
+    if max_steps_override is not None:
+        config.max_step = max_steps_override
+    max_step = int(config.max_step)
+    steps_per_epoch = max(train_pipe.steps_per_epoch, 1)
+
+    key = jax.random.PRNGKey(config.rand_seed)
+    params = init_params(key, spec)
+
+    if config.legacy:
+        schedule = legacy_halving_schedule(
+            config.lr_start, steps_per_epoch,
+            config.lr_reduce_every_n_epochs)
+    else:
+        schedule = cosine_schedule(config.lr_start, config.lr_end, max_step)
+    optimizer, mask = build_optimizer(
+        params, schedule,
+        optimiser=config.optimiser,
+        adam_epsilon=config.adam_epsilon,
+        freeze_scopes=config.freeze_scopes,
+        cnn_grad_multiplier=config.cnn_grad_multiplier,
+        clip_gradient_norm=config.clip_gradient_norm)
+    opt_state = optimizer.init(params)
+
+    params, opt_state, start_step, mode = ckpt.restore_model(
+        params, config.checkpoint_path,
+        resume=bool(config.resume_training),
+        exclude_scopes=config.checkpoint_exclude_scopes,
+        opt_state=opt_state)
+    print(f"INFO: restore mode = {mode}, start step = {start_step}")
+
+    os.makedirs(config.log_path, exist_ok=True)
+    config.save(config.log_path)
+    n_dec = count_params(params["decoder"])
+    n_all = count_params(params)
+    with open(os.path.join(config.log_path, "model_size.txt"), "a") as f:
+        f.write(f"Decoder trainable parameters: {n_dec:,d}\r\n")
+        f.write(f"Total parameters: {n_all:,d}\r\n")
+    print(f"INFO: decoder params {n_dec:,d} / total {n_all:,d}")
+
+    if mesh is None:
+        mesh = make_mesh_for_batch(config.batch_size_train,
+                                   config.batch_size_eval)
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
+    state = TrainState(params, opt_state,
+                       jnp.asarray(start_step, jnp.int32))
+
+    train_step = make_train_step(spec, config, optimizer, mask,
+                                 tuple(config.cnn_input_size))
+    eval_step = make_eval_step(spec, config, tuple(config.cnn_input_size))
+
+    writer = SummaryWriter(config.log_path)
+    log_every = max(steps_per_epoch // max(config.num_logs_per_epoch, 1), 1)
+    # checkpoint each epoch, or twice per epoch for huge epochs
+    save_every = (steps_per_epoch if steps_per_epoch <= 5000
+                  else steps_per_epoch // 2)
+
+    rng = jax.random.PRNGKey(config.rand_seed + 1)
+    step = start_step
+    t_last, n_since = time.time(), 0
+    data_iter = iter(train_pipe)
+    metrics = {}
+    while step < max_step:
+        images, caps = next(data_iter)
+        rng, sub = jax.random.split(rng)
+        batch = shard_batch(mesh, (images, caps))
+        state, metrics = train_step(state, batch[0], batch[1], sub)
+        step += 1
+        n_since += images.shape[0]
+
+        if step % log_every == 0 or step == max_step:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t_last
+            m["examples_per_sec"] = n_since / max(dt, 1e-9)
+            m["lr"] = float(schedule(jnp.asarray(step)))
+            writer.scalars(step, m)
+            print(f"step {step}/{max_step}  loss {m['total_loss']:.4f}  "
+                  f"ppl {np.exp(m['log_ppl']):.2f}  "
+                  f"{m['examples_per_sec']:.1f} ex/s")
+            t_last, n_since = time.time(), 0
+
+        if step % save_every == 0 or step == max_step:
+            host_params = jax.device_get(state.params)
+            ckpt.save_checkpoint(config.log_path, step, host_params,
+                                 jax.device_get(state.opt_state),
+                                 max_saves=config.max_saves)
+            eval_ppl = evaluate_perplexity(eval_step, state.params,
+                                           eval_pipe)
+            writer.scalars(step, {"eval_perplexity": eval_ppl})
+            print(f"step {step}: eval perplexity {eval_ppl:.3f}")
+
+    writer.close()
+    out = {k: float(v) for k, v in metrics.items()} if metrics else {}
+    return out

@@ -1,0 +1,183 @@
+"""Training stack tests: schedules, optimizer masking, checkpoints, and an
+end-to-end smoke train on the synthetic dataset (loss must go down)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comic_tpu.configuration import Config
+from comic_tpu.data.synthetic import make_synthetic_dataset
+from comic_tpu.training import checkpoints as ckpt
+from comic_tpu.training.optimizer import (
+    build_optimizer,
+    masked_l2_loss,
+    scope_mask,
+    trainable_mask,
+)
+from comic_tpu.training.schedule import cosine_schedule, legacy_halving_schedule
+from comic_tpu.training.xe import train_fn
+
+
+class TestSchedules:
+    def test_cosine_endpoints(self):
+        f = cosine_schedule(1e-2, 1e-5, 100)
+        np.testing.assert_allclose(float(f(jnp.asarray(0))), 1e-2, rtol=1e-5)
+        np.testing.assert_allclose(float(f(jnp.asarray(100))), 1e-5, rtol=1e-4)
+        np.testing.assert_allclose(float(f(jnp.asarray(200))), 1e-5, rtol=1e-4)
+        mid = float(f(jnp.asarray(50)))
+        np.testing.assert_allclose(mid, (1e-2 + 1e-5) / 2, rtol=1e-4)
+
+    def test_legacy_halving(self):
+        f = legacy_halving_schedule(1e-3, steps_per_epoch=10,
+                                    reduce_every_n_epochs=4)
+        np.testing.assert_allclose(float(f(jnp.asarray(0))), 1e-3, rtol=1e-5)
+        np.testing.assert_allclose(float(f(jnp.asarray(39))), 1e-3, rtol=1e-5)
+        np.testing.assert_allclose(float(f(jnp.asarray(40))), 5e-4, rtol=1e-5)
+        np.testing.assert_allclose(float(f(jnp.asarray(80))), 2.5e-4, rtol=1e-5)
+
+
+def _toy_params():
+    return {
+        "encoder": {"cnn": {"w": jnp.ones((2, 2))},
+                    "head": {"w": jnp.ones((2,))}},
+        "decoder": {"emb": jnp.ones((3,))},
+    }
+
+
+class TestOptimizer:
+    def test_freeze_mask(self):
+        p = _toy_params()
+        m = trainable_mask(p, "Model/encoder/cnn")
+        assert m["encoder"]["cnn"]["w"] is False
+        assert m["encoder"]["head"]["w"] is True
+        assert m["decoder"]["emb"] is True
+
+    def test_no_freeze(self):
+        m = trainable_mask(_toy_params(), "")
+        assert all(jax.tree_util.tree_leaves(m))
+
+    def test_frozen_params_not_updated(self):
+        p = _toy_params()
+        opt, mask = build_optimizer(
+            p, lambda s: 0.1, freeze_scopes="encoder/cnn")
+        st = opt.init(p)
+        grads = jax.tree_util.tree_map(jnp.ones_like, p)
+        updates, _ = opt.update(grads, st, p)
+        assert float(jnp.abs(updates["encoder"]["cnn"]["w"]).max()) == 0.0
+        assert float(jnp.abs(updates["decoder"]["emb"]).max()) > 0.0
+
+    def test_grad_multiplier_scales_cnn(self):
+        p = _toy_params()
+        opt, _ = build_optimizer(p, lambda s: 1.0, optimiser="sgd",
+                                 cnn_grad_multiplier=0.5)
+        st = opt.init(p)
+        grads = jax.tree_util.tree_map(jnp.ones_like, p)
+        updates, _ = opt.update(grads, st, p)
+        # sgd update = -lr * g; cnn grads halved
+        np.testing.assert_allclose(updates["encoder"]["cnn"]["w"], -0.5)
+        np.testing.assert_allclose(updates["decoder"]["emb"], -1.0)
+
+    def test_masked_l2(self):
+        p = _toy_params()
+        mask = trainable_mask(p, "encoder/cnn")
+        # trainable leaves: head (2 ones) + emb (3 ones) -> 5 * 0.5 * decay
+        np.testing.assert_allclose(
+            float(masked_l2_loss(p, mask, 0.1)), 0.25, rtol=1e-6)
+
+    def test_scope_mask(self):
+        m = scope_mask(_toy_params(), "encoder/cnn")
+        assert m["encoder"]["cnn"]["w"] and not m["decoder"]["emb"]
+
+
+class TestCheckpoints:
+    def test_save_load_roundtrip(self, tmp_path):
+        p = _toy_params()
+        opt_state = {"mu": jnp.zeros((3,))}
+        d = str(tmp_path)
+        ckpt.save_checkpoint(d, 10, p, opt_state)
+        names = ckpt.list_checkpoints(d)
+        assert names == ["model_compact-10"]
+        p2 = ckpt.load_compact(d, jax.tree_util.tree_map(jnp.zeros_like, p))
+        np.testing.assert_allclose(p2["decoder"]["emb"], 1.0)
+        st = ckpt.load_full(d, {"params": p, "step": np.int64(0),
+                                "opt_state": opt_state})
+        assert int(st["step"]) == 10
+
+    def test_retention_and_natural_sort(self, tmp_path):
+        p = _toy_params()
+        d = str(tmp_path)
+        for s in [2, 10, 1, 30, 9, 100]:
+            ckpt.save_checkpoint(d, s, p, None, max_saves=3)
+        names = ckpt.list_checkpoints(d)
+        assert names == ["model_compact-10", "model_compact-30",
+                         "model_compact-100"]
+        fulls = ckpt.list_checkpoints(d, ckpt.FULL_PREFIX)
+        assert fulls == ["model-30", "model-100"]
+
+    def test_select_eval_checkpoints(self, tmp_path):
+        p = _toy_params()
+        d = str(tmp_path)
+        for s in range(25):
+            ckpt.save_checkpoint(d, s, p, None, max_saves=30)
+        sel = ckpt.select_eval_checkpoints(d)
+        assert len(sel) == 12 and sel[-1] == "model_compact-24"
+
+    def test_restore_with_excludes(self):
+        old = _toy_params()
+        new = jax.tree_util.tree_map(lambda x: x * 2, old)
+        merged = ckpt.restore_with_excludes(old, new, "encoder/cnn")
+        np.testing.assert_allclose(merged["encoder"]["cnn"]["w"], 1.0)
+        np.testing.assert_allclose(merged["decoder"]["emb"], 2.0)
+
+    def test_restore_modes(self, tmp_path):
+        p = _toy_params()
+        d = str(tmp_path)
+        # scratch
+        _, _, step, mode = ckpt.restore_model(p, None)
+        assert mode == "scratch" and step == 0
+        # full resume
+        ckpt.save_checkpoint(d, 7, p, {"m": jnp.zeros(1)})
+        _, _, step, mode = ckpt.restore_model(
+            p, d, resume=True, opt_state={"m": jnp.zeros(1)})
+        assert mode == "resume" and step == 7
+        # model restore (not resume)
+        _, _, step, mode = ckpt.restore_model(p, d)
+        assert mode == "model" and step == 0
+        # cnn-only restore
+        cnn_path = os.path.join(d, "inception.msgpack")
+        ckpt.save_cnn_checkpoint(
+            cnn_path, {"w": jnp.full((2, 2), 5.0)})
+        p2, _, _, mode = ckpt.restore_model(p, cnn_path)
+        assert mode == "cnn"
+        np.testing.assert_allclose(p2["encoder"]["cnn"]["w"], 5.0)
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_smoke_train_loss_decreases(self, tmp_path):
+        root, _ = make_synthetic_dataset(
+            str(tmp_path / "data"), num_train=8, num_valid=4, num_test=4,
+            captions_per_image=1)
+        c = Config(
+            token_type="radix", radix_base=16, dataset_dir=root,
+            dataset_file_pattern="synth_{}", batch_size_train=4,
+            batch_size_eval=4, max_epoch=500, rnn_size=32, rnn_word_size=16,
+            attn_num_heads=2, compute_dtype="float32",
+            cnn_input_size=(128, 128), lr_start=3e-3, lr_end=1e-4,
+            dropout_rnn_in=0.0, dropout_rnn_out=0.0, attn_keep_prob=1.0,
+            log_path=str(tmp_path / "exp"), num_logs_per_epoch=1,
+            freeze_scopes="", rand_seed=0)
+        metrics = train_fn(c, max_steps_override=30)
+        # loss after 30 steps on 8 repeated examples must beat uniform
+        import math
+        uniform = math.log(16 + 2)
+        assert metrics["log_ppl"] < uniform, metrics
+        # checkpoints + artifacts written
+        from comic_tpu.training.checkpoints import list_checkpoints
+        assert list_checkpoints(str(tmp_path / "exp"))
+        assert os.path.exists(tmp_path / "exp" / "config.pkl")
+        assert os.path.exists(tmp_path / "exp" / "model_size.txt")
+        assert os.path.exists(tmp_path / "exp" / "events.jsonl")
