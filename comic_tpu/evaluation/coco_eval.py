@@ -1,0 +1,162 @@
+"""COCO-style caption evaluation: annotation loading, orchestration, artifacts.
+
+Replaces pycocotools.COCO + COCOEvalCap
+(/root/reference/common/coco_caption/pycocotools/coco.py:55-307,
+pycocoevalcap/eval.py:9-75) with a lean evaluator:
+
+  - reads COCO annotation JSON ({"annotations": [{image_id, caption}, ...]})
+    and COCO result JSON ([{image_id, caption}, ...]);
+  - PTB-tokenizes both (java-gated with a Python fallback);
+  - runs BLEU-1..4, ROUGE-L, CIDEr in-process and METEOR/SPICE via Java
+    when available;
+  - produces corpus scores + per-image scores, and writes the reference's
+    score artifacts: metric_scores.txt, metric_scores.csv, and the
+    per-image sorted-by-CIDEr detailed JSON (infer_fn.py:236-290).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .bleu import BleuScorer
+from .cider import Cider
+from .java_metrics import MeteorScorer, SpiceScorer
+from .rouge import RougeScorer
+from .tokenizer import PTBTokenizer
+
+METRIC_ORDER = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
+                "ROUGE_L", "CIDEr", "SPICE"]
+
+
+def load_annotations(path: str) -> Dict[int, List[dict]]:
+    with open(path) as f:
+        data = json.load(f)
+    anns = data["annotations"] if isinstance(data, dict) else data
+    gts: Dict[int, List[dict]] = {}
+    for a in anns:
+        gts.setdefault(int(a["image_id"]), []).append(
+            {"caption": a["caption"]})
+    return gts
+
+
+def load_results(path: str) -> Dict[int, List[dict]]:
+    with open(path) as f:
+        data = json.load(f)
+    res: Dict[int, List[dict]] = {}
+    for a in data:
+        res[int(a["image_id"])] = [{"caption": a["caption"]}]
+    return res
+
+
+class CocoCaptionEvaluator:
+    """COCOEvalCap-equivalent orchestrator."""
+
+    def __init__(self, jar_dir: str = ""):
+        self.jar_dir = jar_dir
+        self.eval: Dict[str, float] = {}
+        self.img_to_eval: Dict[int, Dict[str, float]] = {}
+
+    def evaluate(self, gts_raw: Dict[int, List[dict]],
+                 res_raw: Dict[int, List[dict]]) -> Dict[str, float]:
+        # restrict gts to scored images (loadRes semantics)
+        keys = [k for k in res_raw if k in gts_raw]
+        tok = PTBTokenizer(self.jar_dir)
+        gts = tok.tokenize({k: gts_raw[k] for k in keys})
+        res = tok.tokenize({k: res_raw[k] for k in keys})
+
+        scorers = [
+            (BleuScorer(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
+            (RougeScorer(), "ROUGE_L"),
+            (Cider(), "CIDEr"),
+        ]
+        meteor = MeteorScorer(self.jar_dir)
+        if meteor.available():
+            scorers.append((meteor, "METEOR"))
+        spice = SpiceScorer(self.jar_dir)
+        if spice.available():
+            scorers.append((spice, "SPICE"))
+
+        ordered_keys = sorted(gts.keys())
+        gts_o = {k: gts[k] for k in ordered_keys}
+        res_o = {k: res[k] for k in ordered_keys}
+
+        for scorer, name in scorers:
+            score, per_image = scorer.compute_score(gts_o, res_o)
+            if isinstance(name, list):
+                for n, s, per in zip(name, score, per_image):
+                    self._record(n, s, per, ordered_keys)
+            else:
+                if scorer.method() == "SPICE":
+                    per_image = [float(s["All"]["f"]) for s in per_image]
+                self._record(name, score, per_image, ordered_keys)
+        return dict(self.eval)
+
+    def _record(self, name: str, score: float, per_image: Sequence[float],
+                keys: Sequence[int]) -> None:
+        self.eval[name] = float(score)
+        for k, s in zip(keys, per_image):
+            self.img_to_eval.setdefault(k, {"image_id": k})[name] = float(s)
+
+
+def evaluate_captions(annotations_file: str, results_file: str,
+                      jar_dir: str = ""
+                      ) -> Tuple[Dict[str, float], Dict[int, Dict[str, float]]]:
+    """(corpus scores, per-image scores) for a result JSON
+    (infer_fn.py:295-315)."""
+    gts = load_annotations(annotations_file)
+    res = load_results(results_file)
+    ev = CocoCaptionEvaluator(jar_dir)
+    scores = ev.evaluate(gts, res)
+    return scores, ev.img_to_eval
+
+
+def write_score_artifacts(save_dir: str, ckpt_name: str,
+                          scores: Dict[str, float],
+                          img_to_eval: Dict[int, Dict[str, float]],
+                          valid_ppl: Optional[float] = None) -> None:
+    """metric_scores.txt / .csv / _detailed_{n}.json (infer_fn.py:236-290)."""
+    os.makedirs(save_dir, exist_ok=True)
+    present = [m for m in METRIC_ORDER if m in scores]
+
+    txt = os.path.join(save_dir, "metric_scores.txt")
+    new = not os.path.exists(txt)
+    with open(txt, "a") as f:
+        if new:
+            f.write("checkpoint\t" + "\t".join(present) + "\n")
+        f.write(ckpt_name + "\t"
+                + "\t".join(f"{scores[m]:.6f}" for m in present) + "\n")
+
+    csv = os.path.join(save_dir, "metric_scores.csv")
+    new = not os.path.exists(csv)
+    with open(csv, "a") as f:
+        if new:
+            header = ["checkpoint"] + present
+            if valid_ppl is not None:
+                header.append("valid_ppl")
+            f.write(",".join(header) + "\n")
+        row = [ckpt_name] + [f"{scores[m]:.6f}" for m in present]
+        if valid_ppl is not None:
+            row.append(f"{valid_ppl:.6f}")
+        f.write(",".join(row) + "\n")
+
+    # per-image detail, sorted by CIDEr ascending (worst first)
+    detail = sorted(img_to_eval.values(),
+                    key=lambda d: d.get("CIDEr", 0.0))
+    n = len([f for f in os.listdir(save_dir)
+             if f.startswith("metric_scores_detailed")])
+    with open(os.path.join(save_dir, f"metric_scores_detailed_{n}.json"),
+              "w") as f:
+        json.dump(detail, f, indent=2)
+
+
+def write_caption_json(path: str, image_ids: Sequence[int],
+                       captions: Sequence[str]) -> None:
+    """COCO submission format [{image_id, caption}] (infer_fn.py:153-175)."""
+    out = [{"image_id": int(i), "caption": c}
+           for i, c in zip(image_ids, captions)]
+    with open(path, "w") as f:
+        json.dump(out, f)

@@ -1,0 +1,65 @@
+"""N-gram utilities shared by the caption metrics, plus the SCST IDF cache.
+
+The IDF cache reproduces the reference's offline `prepro_ngrams` artifact
+(/root/reference/common/scst/prepro_ngrams.py:24-156): a pickle
+``{"document_frequency": {ngram: df}, "ref_len": log(N)}`` computed over the
+training references, consumed by CIDEr-D during SCST
+(train_fn.py:192-201, ciderD_scorer.py:78-84).
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from collections import defaultdict
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+Ngram = Tuple[str, ...]
+
+
+def ngram_counts(tokens: Sequence[str], max_n: int = 4) -> Dict[Ngram, int]:
+    counts: Dict[Ngram, int] = defaultdict(int)
+    for n in range(1, max_n + 1):
+        for i in range(len(tokens) - n + 1):
+            counts[tuple(tokens[i : i + n])] += 1
+    return dict(counts)
+
+
+def count_sentences(sentences: Iterable[str], max_n: int = 4
+                    ) -> List[Dict[Ngram, int]]:
+    return [ngram_counts(s.split(), max_n) for s in sentences]
+
+
+def document_frequency(refs_per_image: Sequence[Sequence[str]], max_n: int = 4
+                       ) -> Dict[Ngram, float]:
+    """df[ngram] = number of images in whose reference set it appears."""
+    df: Dict[Ngram, float] = defaultdict(float)
+    for refs in refs_per_image:
+        seen = set()
+        for ref in refs:
+            seen.update(ngram_counts(ref.split(), max_n).keys())
+        for g in seen:
+            df[g] += 1.0
+    return dict(df)
+
+
+def build_idf_cache(refs_per_image: Sequence[Sequence[str]], max_n: int = 4
+                    ) -> Dict[str, object]:
+    return {
+        "document_frequency": document_frequency(refs_per_image, max_n),
+        "ref_len": math.log(float(len(refs_per_image))),
+    }
+
+
+def save_idf_cache(path: str, cache: Dict[str, object]) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(cache, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_idf_cache(path: str) -> Dict[str, object]:
+    with open(path, "rb") as f:
+        try:
+            return pickle.load(f)
+        except UnicodeDecodeError:
+            f.seek(0)
+            return pickle.load(f, encoding="latin1")
