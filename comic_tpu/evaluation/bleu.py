@@ -70,7 +70,7 @@ def bleu(gts: Dict, res: Dict, max_n: int = 4
     total_reflen = 0.0
     per_image: List[List[float]] = [[] for _ in range(max_n)]
 
-    for key in gts:
+    for key in sorted(gts):
         refs = gts[key]
         hyp = res[key][0]
         hyp_tokens = hyp.split()

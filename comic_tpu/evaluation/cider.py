@@ -64,7 +64,7 @@ class _CiderBase:
                       ) -> Tuple[float, np.ndarray]:
         df, log_n = self._resolve_df(gts)
         scores = []
-        for k in gts:
+        for k in sorted(gts):
             hyp_vec, hyp_norm, hyp_len = _tfidf_vec(
                 res[k][0].split(), df, log_n)
             per_n = np.zeros(MAX_N)

@@ -45,7 +45,7 @@ def rouge_l_sentence(hyp: str, refs: Sequence[str]) -> float:
 
 
 def rouge_l(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
-    scores = [rouge_l_sentence(res[k][0], gts[k]) for k in gts]
+    scores = [rouge_l_sentence(res[k][0], gts[k]) for k in sorted(gts)]
     corpus = sum(scores) / len(scores) if scores else 0.0
     return corpus, scores
 

@@ -1,0 +1,284 @@
+"""SCST (self-critical sequence training) REINFORCE fine-tuning.
+
+TPU-native re-design of the reference SCST loop
+(/root/reference/src/train_fn.py:150-307, SURVEY.md §3.2). The reference
+crosses the host boundary three times per step and re-runs the CNN for the
+sample pass, the greedy pass, AND the beam-tiled training pass. Here:
+
+  1. ONE jitted `rollout` encodes the images once and runs both the beam-7
+     sampling decode and the greedy baseline decode off the shared attention
+     memory; it returns the decoded ids plus the encoder outputs, which stay
+     resident on device.
+  2. The host converts ids -> caption strings, scores CIDEr-D/BLEU rewards
+     (reward = score(sample) - score(greedy), train_fn.py:243-248), and
+     re-encodes the hypotheses to padded ids (fixed width -> one compiled
+     train graph).
+  3. ONE jitted `train_step` teacher-forces the hypotheses against the
+     beam-tiled encoder outputs (tiled on device, never re-encoded) with
+     per-example XE x reward (model_base.py:342-347) + map/L2 losses.
+
+  Rollout for batch t+1 is dispatched before the host scores batch t, so
+  CIDEr computation overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configuration import Config
+from ..data.pipeline import ScstPipeline
+from ..data.preprocessing import preprocess_batch
+from ..decoding.search import beam_search_from_memory, greedy_or_sample_from_memory
+from ..models.attention import AttentionMemory, precompute
+from ..models.captioner import (
+    ModelSpec,
+    attention_map_loss,
+    build_model_spec,
+    init_params,
+    process_captions,
+    sequence_loss,
+)
+from ..models.decoder import teacher_forced
+from ..models.encoders import encode_images
+from ..evaluation.scorers import CaptionScorer
+from ..tokenization import (
+    RadixCodec,
+    Vocabulary,
+    caption_strings_to_batched_ids,
+    ids_to_captions,
+)
+from ..utils.summaries import SummaryWriter
+from . import checkpoints as ckpt
+from .optimizer import build_optimizer, masked_l2_loss
+from .schedule import cosine_schedule
+from .xe import TrainState, _resolve_vocab
+
+SCST_MAX_WORDS = 20  # forced during SCST sampling (model_base.py:203-206)
+
+
+def scst_decode_steps(config: Config, vocab: Vocabulary) -> int:
+    steps = SCST_MAX_WORDS
+    if config.token_type == "radix":
+        steps *= RadixCodec(len(vocab), config.radix_base).word_len
+    elif config.token_type == "char":
+        steps *= 5
+    return steps
+
+
+def hypo_width(config: Config, vocab: Vocabulary) -> int:
+    """Static padded width for hypothesis id batches: GO + body + EOS."""
+    return scst_decode_steps(config, vocab) + 2
+
+
+def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary):
+    """(params, images_u8, key) -> (greedy_ids, beam_ids, im_embed, fmaps).
+
+    beam_ids come back in the reference's beam-major (beam, batch, time)
+    layout so host-side scoring sees [im0_b0..imN_b0, im0_b1, ...].
+    """
+    h, w = config.cnn_input_size
+    beam = int(config.scst_beam_size)
+    steps = scst_decode_steps(config, vocab)
+    augment = bool(config.cnn_input_augment)
+
+    @jax.jit
+    def rollout(params, images_u8, key):
+        images = preprocess_batch(images_u8, key, h, w, augment)
+        im_embed, fmaps = encode_images(
+            params["encoder"], images, spec.cnn_name, spec.fm_endpoint,
+            legacy=spec.legacy, dtype=spec.compute_dtype)
+        memory = precompute(params["decoder"]["attention"],
+                            spec.decoder.attention, fmaps,
+                            dtype=spec.compute_dtype)
+        greedy = greedy_or_sample_from_memory(
+            params["decoder"], spec, im_embed, memory, max_steps=steps)
+        _, all_beams = beam_search_from_memory(
+            params["decoder"], spec, im_embed, memory, beam_size=beam,
+            max_steps=steps, length_penalty=0.0)
+        return greedy.ids, all_beams["ids"], im_embed, fmaps
+
+    return rollout
+
+
+def make_scst_train_step(spec: ModelSpec, config: Config, optimizer, mask):
+    """(state, im_embed, fmaps, hypo_ids, rewards, rng) -> (state, metrics).
+
+    im_embed/fmaps are per-image; they are beam-tiled ON DEVICE to match the
+    (beam * batch) hypothesis rows.
+    """
+    beam = int(config.scst_beam_size)
+    map_scale = float(config.rnn_map_loss_scale)
+    l2_decay = float(config.l2_decay)
+
+    def loss_fn(params, im_embed, fmaps, hypo_ids, rewards, rng):
+        # beam-major tiling: row i of block b is image i (tile, not repeat)
+        im_k = jnp.tile(im_embed, (beam, 1))
+        fm_k = jnp.tile(fmaps, (beam, 1, 1))
+        inputs, targets, m = process_captions(hypo_ids)
+        logits, alignments = teacher_forced(
+            params["decoder"], spec.decoder, inputs, im_k, fm_k,
+            rng=rng, training=True, dtype=spec.compute_dtype)
+        per_example = sequence_loss(logits, targets, m,
+                                    average_across_batch=False)
+        xe = jnp.mean(per_example * rewards)
+        map_loss = attention_map_loss(alignments, map_scale)
+        reg = masked_l2_loss(params, mask, l2_decay)
+        total = xe + map_loss + reg
+        return total, {"scst_loss": xe, "map_loss": map_loss, "reg": reg}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, im_embed, fmaps, hypo_ids, rewards,
+                   rng):
+        (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, im_embed, fmaps, hypo_ids, rewards, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        return (TrainState(params, opt_state, state.step + 1),
+                dict(parts, total_loss=total))
+
+    return train_step
+
+
+def score_and_encode(
+    scorer: CaptionScorer, config: Config, vocab: Vocabulary,
+    refs: List[List[str]], greedy_ids: np.ndarray, beam_ids: np.ndarray,
+    width: int,
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
+    """Host side of one SCST step: ids -> strings -> rewards -> padded ids."""
+    base = config.radix_base
+    greedy_caps = ids_to_captions(greedy_ids, config.token_type, vocab, base)
+    beam, batch = beam_ids.shape[0], beam_ids.shape[1]
+    flat = beam_ids.reshape(beam * batch, -1)
+    sample_caps = ids_to_captions(flat, config.token_type, vocab, base)
+    # scorer API wants list-of-singleton-lists
+    hypos, sc_sample, sc_greedy = scorer.get_hypo_scores(
+        refs, [[c] for c in sample_caps], [[c] for c in greedy_caps])
+    rewards = (sc_sample - sc_greedy).astype(np.float32)
+    hypo_ids = caption_strings_to_batched_ids(
+        [h[0] for h in hypos], config.token_type, vocab, base)
+    fixed = np.full((hypo_ids.shape[0], width), -1, np.int32)
+    fixed[:, : min(width, hypo_ids.shape[1])] = hypo_ids[:, :width]
+    metrics = {"score_sample": float(np.mean(sc_sample)),
+               "score_greedy": float(np.mean(sc_greedy)),
+               "reward": float(np.mean(rewards))}
+    return fixed, rewards, metrics
+
+
+def train_fn_scst(config: Config, *,
+                  max_steps_override: Optional[int] = None
+                  ) -> Dict[str, float]:
+    """The SCST stage driver (train_fn.py:150-307)."""
+    vocab = _resolve_vocab(config)
+    spec = build_model_spec(config, vocab)
+    pipe = ScstPipeline(config, vocab)
+    if max_steps_override is not None:
+        config.max_step = max_steps_override
+    max_step = int(config.max_step)
+
+    # scst-words IDF cache (train_fn.py:192-201)
+    idf_path = config.get("scst_idf_path")
+    if not idf_path:
+        cand = os.path.join(
+            config.dataset_dir, "captions",
+            config.dataset_file_pattern.format("scst-words") + ".p")
+        idf_path = cand if os.path.exists(cand) else None
+    weights = {"ciderD": float(config.scst_weight_ciderD),
+               "bleu": list(config.scst_weight_bleu)}
+    scorer = CaptionScorer(idf_path, weights)
+    if idf_path is None:
+        # corpus-mode CIDEr-D: df computed per batch from its refs
+        print("WARNING: no scst-words IDF cache found; CIDEr-D uses "
+              "per-batch corpus document frequencies.")
+
+    params = init_params(jax.random.PRNGKey(config.rand_seed), spec)
+    schedule = cosine_schedule(config.lr_start, config.lr_end, max_step)
+    optimizer, mask = build_optimizer(
+        params, schedule, optimiser=config.optimiser,
+        adam_epsilon=config.adam_epsilon,
+        freeze_scopes=config.freeze_scopes,
+        clip_gradient_norm=config.clip_gradient_norm)
+    opt_state = optimizer.init(params)
+    params, opt_state, start_step, mode = ckpt.restore_model(
+        params, config.checkpoint_path,
+        resume=bool(config.resume_training),
+        exclude_scopes=config.checkpoint_exclude_scopes,
+        opt_state=opt_state)
+    print(f"INFO: restore mode = {mode}, start step = {start_step}")
+
+    os.makedirs(config.log_path, exist_ok=True)
+    config.save(config.log_path)
+    state = TrainState(params, opt_state,
+                       jnp.asarray(start_step, jnp.int32))
+
+    rollout = make_rollout(spec, config, vocab)
+    train_step = make_scst_train_step(spec, config, optimizer, mask)
+    width = hypo_width(config, vocab)
+    writer = SummaryWriter(config.log_path)
+    save_every = max(pipe.config.split_sizes["train"]
+                     // config.batch_size_train, 1)
+
+    rng = jax.random.PRNGKey(config.rand_seed + 2)
+    step = start_step
+    data_iter = iter(pipe)
+    pending = None  # (rollout outputs, refs) for software pipelining
+    metrics: Dict[str, float] = {}
+    t_last, n_since = time.time(), 0
+    while step < max_step:
+        images, refs = next(data_iter)
+        rng, k_roll, k_train = jax.random.split(rng, 3)
+        out = rollout(state.params, jnp.asarray(images), k_roll)
+        if pending is not None:
+            state, metrics, step = _finish_step(
+                pending, state, train_step, scorer, config, vocab, width,
+                k_train, writer, step, schedule)
+            n_since += config.batch_size_train
+        pending = (out, refs)
+
+        if step > 0 and step % 25 == 0 and metrics:
+            dt = time.time() - t_last
+            writer.scalars(step, dict(
+                metrics, examples_per_sec=n_since / max(dt, 1e-9)))
+            print(f"scst step {step}/{max_step} reward "
+                  f"{metrics.get('reward', 0):.4f} "
+                  f"{n_since / max(dt, 1e-9):.1f} ex/s")
+            t_last, n_since = time.time(), 0
+        if step > 0 and step % save_every == 0:
+            ckpt.save_checkpoint(config.log_path, step,
+                                 jax.device_get(state.params),
+                                 jax.device_get(state.opt_state),
+                                 max_saves=config.max_saves)
+
+    if pending is not None:
+        rng, k_train = jax.random.split(rng)
+        state, metrics, step = _finish_step(
+            pending, state, train_step, scorer, config, vocab, width,
+            k_train, writer, step, schedule)
+    ckpt.save_checkpoint(config.log_path, step,
+                         jax.device_get(state.params),
+                         jax.device_get(state.opt_state),
+                         max_saves=config.max_saves)
+    writer.close()
+    return metrics
+
+
+def _finish_step(pending, state, train_step, scorer, config, vocab, width,
+                 k_train, writer, step, schedule):
+    (greedy_ids, beam_ids, im_embed, fmaps), refs = pending
+    hypo_ids, rewards, score_metrics = score_and_encode(
+        scorer, config, vocab, refs, np.asarray(greedy_ids),
+        np.asarray(beam_ids), width)
+    state, metrics = train_step(state, im_embed, fmaps,
+                                jnp.asarray(hypo_ids),
+                                jnp.asarray(rewards), k_train)
+    metrics = {k: float(v) for k, v in metrics.items()}
+    metrics.update(score_metrics)
+    return state, metrics, step + 1

@@ -1,0 +1,119 @@
+"""SCST training tests: rollout shapes, reward plumbing, smoke train."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comic_tpu.configuration import Config
+from comic_tpu.data.synthetic import make_synthetic_dataset
+from comic_tpu.evaluation.scorers import CaptionScorer
+from comic_tpu.models.captioner import build_model_spec, init_params
+from comic_tpu.tokenization import Vocabulary
+from comic_tpu.training.scst import (
+    hypo_width,
+    make_rollout,
+    make_scst_train_step,
+    score_and_encode,
+    scst_decode_steps,
+    train_fn_scst,
+)
+from comic_tpu.training.optimizer import build_optimizer
+from comic_tpu.training.schedule import cosine_schedule
+from comic_tpu.training.xe import TrainState
+
+
+def _small_config(root):
+    return Config(
+        token_type="radix", radix_base=16, dataset_dir=root,
+        dataset_file_pattern="synth_{}", batch_size_train=4,
+        scst_beam_size=3, max_epoch=1, rnn_size=32, rnn_word_size=16,
+        attn_num_heads=2, compute_dtype="float32", cnn_input_size=(64, 64),
+        lr_start=1e-4, lr_end=1e-5, dropout_rnn_in=0.0, dropout_rnn_out=0.0,
+        attn_keep_prob=1.0, freeze_scopes="encoder/cnn", rand_seed=0)
+
+
+class TestScstUnits:
+    def test_decode_steps_radix(self):
+        wtoi = {"<PAD>": -1, "<UNK>": 0, "<GO>": 1, "<EOS>": 2}
+        for i in range(290):
+            wtoi[f"w{i}"] = i + 3
+        v = Vocabulary(wtoi)  # ~294 entries, base 16 -> width 3
+        c = Config(token_type="radix", radix_base=16)
+        assert scst_decode_steps(c, v) == 60
+        assert hypo_width(c, v) == 62
+
+    def test_score_and_encode(self):
+        wtoi = {"<PAD>": -1, "a": 0, "cat": 1, "sat": 2, "<UNK>": 3,
+                "<GO>": 4, "<EOS>": 5}
+        v = Vocabulary(wtoi)
+        c = Config(token_type="word")
+        scorer = CaptionScorer(None, {"ciderD": 1.0})
+        refs = [["a cat sat"], ["a cat"]]
+        # greedy ids: (2, T); beam ids: (2 beams, 2 batch, T)
+        greedy = np.asarray([[0, 1, 5], [0, 5, -1]])
+        beam = np.asarray([
+            [[0, 1, 2, 5], [0, 1, 5, -1]],   # beam 0
+            [[2, 2, 5, -1], [1, 5, -1, -1]],  # beam 1
+        ])
+        hypo_ids, rewards, m = score_and_encode(
+            scorer, c, v, refs, greedy, beam, width=6)
+        assert hypo_ids.shape == (4, 6)
+        assert rewards.shape == (4,)
+        # row 0 is "a cat sat" = exact ref -> highest reward in column 0
+        assert rewards[0] > rewards[2]
+        # encoded hypo row 0: GO a cat sat EOS pad
+        np.testing.assert_array_equal(hypo_ids[0], [4, 0, 1, 2, 5, -1])
+
+
+@pytest.mark.slow
+class TestScstEndToEnd:
+    def test_rollout_and_train_step(self, tmp_path):
+        root, vocab = make_synthetic_dataset(
+            str(tmp_path / "d"), num_train=8, num_valid=4, num_test=4)
+        c = _small_config(root)
+        spec = build_model_spec(c, vocab)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        rollout = make_rollout(spec, c, vocab)
+        images = np.random.default_rng(0).integers(
+            0, 256, (4, 256, 256, 3), dtype=np.uint8)
+        g_ids, b_ids, im_embed, fmaps = rollout(
+            params, jnp.asarray(images), jax.random.PRNGKey(1))
+        steps = scst_decode_steps(c, vocab)
+        assert g_ids.shape == (4, steps)
+        assert b_ids.shape == (3, 4, steps)
+        assert im_embed.shape == (4, 1024)
+
+        optimizer, mask = build_optimizer(
+            params, cosine_schedule(1e-4, 1e-5, 10),
+            freeze_scopes=c.freeze_scopes)
+        st = TrainState(params, optimizer.init(params),
+                        jnp.asarray(0, jnp.int32))
+        train_step = make_scst_train_step(spec, c, optimizer, mask)
+        width = hypo_width(c, vocab)
+        hypo = np.full((12, width), -1, np.int32)
+        hypo[:, 0] = spec.decoder.start_id
+        hypo[:, 1:5] = 3
+        hypo[:, 5] = spec.decoder.end_id
+        rewards = np.random.default_rng(1).normal(size=12).astype(np.float32)
+        # snapshot before the step: train_step donates its input state
+        conv_before = np.asarray(
+            params["encoder"]["cnn"]["Conv2d_1a_7x7"]["weights"]).copy()
+        st2, metrics = train_step(st, im_embed, fmaps, jnp.asarray(hypo),
+                                  jnp.asarray(rewards), jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["total_loss"]))
+        # frozen CNN unchanged
+        np.testing.assert_allclose(
+            np.asarray(st2.params["encoder"]["cnn"]["Conv2d_1a_7x7"]["weights"]),
+            conv_before)
+
+    def test_scst_driver_smoke(self, tmp_path):
+        root, _ = make_synthetic_dataset(
+            str(tmp_path / "d"), num_train=8, num_valid=4, num_test=4)
+        c = _small_config(root)
+        c.log_path = str(tmp_path / "exp")
+        metrics = train_fn_scst(c, max_steps_override=3)
+        assert "reward" in metrics
+        assert np.isfinite(metrics["total_loss"])
+        from comic_tpu.training.checkpoints import list_checkpoints
+        assert list_checkpoints(c.log_path)
