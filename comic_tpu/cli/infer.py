@@ -1,0 +1,60 @@
+"""Inference CLI: config reload, checkpoint sweep, metric scoring.
+
+Mirrors /root/reference/src/infer.py:23-138: loads the experiment's
+config.pkl, overrides it with CLI args, enumerates compact checkpoints
+(natural order, last 12 when >20), and evaluates each.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..configuration import load_config
+from ..inference import sweep_checkpoints
+
+
+def create_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--infer_checkpoints_dir", type=str, required=True,
+                   help="Experiment dir containing config.pkl + ckpts.")
+    p.add_argument("--dataset_dir", type=str, default=None)
+    p.add_argument("--annotations_file", type=str, default=None,
+                   help="COCO-format annotation JSON for scoring.")
+    p.add_argument("--infer_set", type=str, default="test",
+                   choices=["test", "valid", "coco_test", "coco_valid"])
+    p.add_argument("--batch_size_infer", type=int, default=25)
+    p.add_argument("--infer_beam_size", type=int, default=3)
+    p.add_argument("--infer_length_penalty_weight", type=float, default=0.0)
+    p.add_argument("--infer_max_length", type=int, default=30)
+    p.add_argument("--jar_dir", type=str, default="",
+                   help="Directory with METEOR/SPICE/CoreNLP jars.")
+    return p
+
+
+def main(argv=None):
+    args = create_parser().parse_args(argv)
+    config = load_config(args.infer_checkpoints_dir)
+    config.update(
+        log_path=args.infer_checkpoints_dir,
+        infer_set=args.infer_set,
+        batch_size_infer=args.batch_size_infer,
+        infer_beam_size=args.infer_beam_size,
+        infer_length_penalty_weight=args.infer_length_penalty_weight,
+        infer_max_length=args.infer_max_length,
+    )
+    if args.dataset_dir:
+        config.dataset_dir = args.dataset_dir
+    # forced eval batch for the COCO server split (manager:64-80)
+    if args.infer_set == "coco_valid":
+        config.batch_size_infer = 61
+    results = sweep_checkpoints(config, args.annotations_file, args.jar_dir)
+    for name, scores in results.items():
+        line = "  ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items()))
+        print(f"{name}: {line}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -85,5 +85,15 @@ def make_synthetic_dataset(
         files = sorted({fname for fname, _ in records[split]})
         with open(pjoin(root, "captions", f"filenames_{split}.txt"), "w") as f:
             f.write("\n".join(files) + "\n")
+        # COCO-format annotation JSON for metric scoring
+        anns = []
+        for i, (fname, toks) in enumerate(records[split]):
+            stem = fname.split("/")[-1].rsplit(".", 1)[0]
+            image_id = int(stem.split("_")[-1])
+            anns.append({"image_id": image_id, "id": i,
+                         "caption": " ".join(toks)})
+        with open(pjoin(root, "captions", f"annotations_{split}.json"),
+                  "w") as f:
+            json.dump({"annotations": anns}, f)
 
     return root, vocab

@@ -1,0 +1,166 @@
+"""Inference driver: checkpoint sweep -> on-device beam search -> metrics.
+
+Equivalent of the reference inference layer (/root/reference/src/infer_fn.py:
+78-315 run_inference / evaluate_model / evaluate_captions), with the decode
+path fully on device: uint8 batch -> fused preprocessing -> Inception ->
+batched beam search in ONE jitted program. Artifacts match the reference:
+
+  - save dir  `infer_{set}_beam_{B}_lpen_{L}` under the experiment dir
+  - caption JSON `captions___{ckpt}.json` (COCO submission format)
+  - `infer_speed.txt` captions/sec line per run (infer_fn.py:176-184)
+  - attention-map pickle `outputs___{ckpt}.pkl` (optional)
+  - metric_scores.{txt,csv} + detailed JSON via evaluation.coco_eval
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configuration import Config
+from .data.pipeline import InferencePipeline
+from .data.preprocessing import preprocess_batch
+from .decoding import beam_search, greedy_or_sample
+from .evaluation.coco_eval import (
+    evaluate_captions,
+    write_caption_json,
+    write_score_artifacts,
+)
+from .models.captioner import build_model_spec, init_params, max_decode_steps
+from .tokenization import Vocabulary, ids_to_captions
+from .training import checkpoints as ckpt
+
+pjoin = os.path.join
+
+
+def image_id_from_path(filepath: str):
+    """COCO numeric id when the filename carries one, else the stem
+    (insta-style string ids)."""
+    stem = os.path.splitext(os.path.basename(filepath))[0]
+    m = re.search(r"_(\d+)$", stem)
+    return int(m.group(1)) if m else stem
+
+
+def infer_dir_name(config: Config) -> str:
+    lpen = config.infer_length_penalty_weight or 0.0
+    return (f"infer_{config.infer_set}_beam_{config.infer_beam_size}"
+            f"_lpen_{lpen}")
+
+
+def make_serve_fn(spec, config: Config, steps: int):
+    h, w = config.cnn_input_size
+    beam = int(config.infer_beam_size)
+    lpen = float(config.infer_length_penalty_weight or 0.0)
+
+    @jax.jit
+    def serve(params, images_u8):
+        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
+                                  False)
+        if beam > 1:
+            top, _ = beam_search(params, spec, images, beam_size=beam,
+                                 max_steps=steps, length_penalty=lpen)
+        else:
+            top = greedy_or_sample(params, spec, images, max_steps=steps)
+        return top.ids, top.alignments
+
+    return serve
+
+
+def run_inference(config: Config, ckpt_path: str,
+                  save_attention: bool = False
+                  ) -> Tuple[str, str]:
+    """Generate captions for the configured infer set with one checkpoint.
+
+    Returns (save_dir, caption_json_path).
+    """
+    vocab = Vocabulary.from_str_itow(config.wtoi, config.itow)
+    spec = build_model_spec(config, vocab)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    params = ckpt.load_compact(ckpt_path, params)
+
+    pipe = InferencePipeline(config)
+    steps = max_decode_steps(config, vocab)
+    serve = make_serve_fn(spec, config, steps)
+
+    ckpt_name = os.path.basename(ckpt_path).replace(".msgpack", "")
+    save_dir = pjoin(config.log_path, infer_dir_name(config))
+    os.makedirs(save_dir, exist_ok=True)
+
+    all_ids: List = []
+    all_caps: List[str] = []
+    attn_store: Dict = {}
+    n_done = 0
+    t0 = time.time()
+    for images, files in iter(pipe):
+        ids, attn = serve(params, jnp.asarray(images))
+        caps = ids_to_captions(np.asarray(ids), config.token_type, vocab,
+                               config.radix_base)
+        for f, c in zip(files, caps):
+            all_ids.append(image_id_from_path(f))
+            all_caps.append(c)
+        if save_attention and len(attn_store) < 4:
+            attn_store[files[0]] = np.asarray(attn[0])
+        n_done += images.shape[0]
+    dt = time.time() - t0
+
+    if len(set(map(str, all_ids))) != len(all_ids):
+        raise AssertionError("Duplicate image ids in inference output.")
+
+    json_path = pjoin(save_dir, f"captions___{ckpt_name}.json")
+    write_caption_json(json_path, all_ids, all_caps)
+    with open(pjoin(save_dir, "infer_speed.txt"), "a") as f:
+        f.write(f"{ckpt_name}: {n_done / max(dt, 1e-9):.2f} captions/sec "
+                f"({n_done} images in {dt:.1f}s)\n")
+    if save_attention and attn_store:
+        with open(pjoin(save_dir, f"outputs___{ckpt_name}.pkl"), "wb") as f:
+            pickle.dump(attn_store, f)
+    return save_dir, json_path
+
+
+def evaluate_model(config: Config, ckpt_path: str,
+                   annotations_file: Optional[str] = None,
+                   jar_dir: str = "") -> Optional[Dict[str, float]]:
+    """run_inference + metric scoring + artifacts (infer_fn.py:188-292).
+
+    Skips work already done (existing caption JSON reused). Returns scores
+    (None when no annotation file is available)."""
+    ckpt_name = os.path.basename(ckpt_path).replace(".msgpack", "")
+    save_dir = pjoin(config.log_path, infer_dir_name(config))
+    json_path = pjoin(save_dir, f"captions___{ckpt_name}.json")
+    if not os.path.exists(json_path):
+        _, json_path = run_inference(config, ckpt_path)
+
+    if annotations_file is None:
+        annotations_file = config.get("annotations_file")
+    if not annotations_file or not os.path.exists(annotations_file):
+        print("WARNING: no annotation file; skipping metric scoring.")
+        return None
+    scores, img_to_eval = evaluate_captions(annotations_file, json_path,
+                                            jar_dir)
+    write_score_artifacts(save_dir, ckpt_name, scores, img_to_eval)
+    return scores
+
+
+def sweep_checkpoints(config: Config,
+                      annotations_file: Optional[str] = None,
+                      jar_dir: str = "") -> Dict[str, Dict[str, float]]:
+    """Evaluate the reference's checkpoint selection: all compact ckpts,
+    last 12 when more than 20 exist (infer.py:90-97)."""
+    names = ckpt.select_eval_checkpoints(config.log_path)
+    if not names:
+        raise FileNotFoundError(
+            f"No compact checkpoints under {config.log_path}")
+    results = {}
+    for name in names:
+        path = pjoin(config.log_path, name + ".msgpack")
+        scores = evaluate_model(config, path, annotations_file, jar_dir)
+        if scores is not None:
+            results[name] = scores
+    return results

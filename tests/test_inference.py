@@ -1,0 +1,86 @@
+"""Inference driver + CLI tests on the synthetic dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from comic_tpu.configuration import Config, load_config
+from comic_tpu.data.synthetic import make_synthetic_dataset
+from comic_tpu.inference import (
+    evaluate_model,
+    image_id_from_path,
+    infer_dir_name,
+    run_inference,
+    sweep_checkpoints,
+)
+from comic_tpu.training.xe import train_fn
+
+
+def test_image_id_from_path():
+    assert image_id_from_path("a/COCO_val2014_000000123456.jpg") == 123456
+    assert image_id_from_path("insta/user_post.jpg") == "user_post"
+
+
+def test_infer_dir_name():
+    c = Config(infer_set="test", infer_beam_size=3,
+               infer_length_penalty_weight=0.0)
+    assert infer_dir_name(c) == "infer_test_beam_3_lpen_0.0"
+
+
+@pytest.mark.slow
+class TestInferenceEndToEnd:
+    @pytest.fixture(scope="class")
+    def trained(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("inf")
+        root, _ = make_synthetic_dataset(
+            str(tmp / "d"), num_train=8, num_valid=4, num_test=4,
+            captions_per_image=1)
+        c = Config(
+            token_type="radix", radix_base=16, dataset_dir=root,
+            dataset_file_pattern="synth_{}", batch_size_train=4,
+            batch_size_eval=4, max_epoch=1, rnn_size=32, rnn_word_size=16,
+            attn_num_heads=2, compute_dtype="float32",
+            cnn_input_size=(64, 64), dropout_rnn_in=0.0,
+            dropout_rnn_out=0.0, attn_keep_prob=1.0,
+            log_path=str(tmp / "exp"), freeze_scopes="", rand_seed=0,
+            batch_size_infer=2, infer_beam_size=3, infer_max_length=10,
+            infer_set="test")
+        train_fn(c, max_steps_override=4)
+        return c, root
+
+    def test_run_inference_artifacts(self, trained):
+        c, root = trained
+        config = load_config(c.log_path)
+        config.update(log_path=c.log_path, infer_set="test",
+                      batch_size_infer=2, infer_beam_size=3,
+                      infer_max_length=10)
+        from comic_tpu.training.checkpoints import list_checkpoints
+        name = list_checkpoints(c.log_path)[-1]
+        save_dir, json_path = run_inference(
+            config, os.path.join(c.log_path, name + ".msgpack"),
+            save_attention=True)
+        with open(json_path) as f:
+            results = json.load(f)
+        assert len(results) == 4
+        assert {"image_id", "caption"} <= set(results[0])
+        assert os.path.exists(os.path.join(save_dir, "infer_speed.txt"))
+        pkls = [f for f in os.listdir(save_dir) if f.endswith(".pkl")]
+        assert pkls
+
+    def test_sweep_with_scoring(self, trained):
+        c, root = trained
+        config = load_config(c.log_path)
+        config.update(log_path=c.log_path, infer_set="test",
+                      batch_size_infer=2, infer_beam_size=1,
+                      infer_max_length=10)
+        ann = os.path.join(root, "captions", "annotations_test.json")
+        results = sweep_checkpoints(config, annotations_file=ann)
+        assert results
+        scores = next(iter(results.values()))
+        assert {"Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"} <= set(scores)
+        save_dir = os.path.join(c.log_path, infer_dir_name(config))
+        assert os.path.exists(os.path.join(save_dir, "metric_scores.csv"))
+        assert any(f.startswith("metric_scores_detailed")
+                   for f in os.listdir(save_dir))
