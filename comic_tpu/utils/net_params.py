@@ -1,0 +1,85 @@
+"""Pretrained-encoder checkpoint registry.
+
+Equivalent of /root/reference/common/net_params.py:19-106: maps encoder
+names to their published slim ImageNet checkpoint URLs and resolves local
+checkpoint paths (default ``<repo>/ckpt``). Downloading is gated — this
+environment has no egress — so `maybe_get_ckpt_file` only ever uses files
+already on disk, converting slim checkpoints on first use.
+"""
+
+from __future__ import annotations
+
+import os
+import tarfile
+import urllib.request
+from typing import Dict, Optional
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+DEFAULT_CKPT_DIR = os.path.join(_REPO_ROOT, "ckpt")
+
+# name -> (tarball url, ckpt basename inside the tarball)
+NET_PARAMS: Dict[str, Dict[str, str]] = {
+    "inception_v1": dict(
+        url=("http://download.tensorflow.org/models/"
+             "inception_v1_2016_08_28.tar.gz"),
+        ckpt="inception_v1.ckpt"),
+    "inception_v2": dict(
+        url=("http://download.tensorflow.org/models/"
+             "inception_v2_2016_08_28.tar.gz"),
+        ckpt="inception_v2.ckpt"),
+    "inception_v3": dict(
+        url=("http://download.tensorflow.org/models/"
+             "inception_v3_2016_08_28.tar.gz"),
+        ckpt="inception_v3.ckpt"),
+    "resnet_v1_50": dict(
+        url=("http://download.tensorflow.org/models/"
+             "resnet_v1_50_2016_08_28.tar.gz"),
+        ckpt="resnet_v1_50.ckpt"),
+    "mobilenet_v1": dict(
+        url=("http://download.tensorflow.org/models/"
+             "mobilenet_v1_2018_02_22/mobilenet_v1_1.0_224.tgz"),
+        ckpt="mobilenet_v1_1.0_224.ckpt"),
+}
+
+
+def get_net_params(name: str, ckpt_dir_or_file: Optional[str] = None
+                   ) -> Dict[str, str]:
+    if name not in NET_PARAMS:
+        raise ValueError(f"Unknown network: {name}")
+    net = dict(NET_PARAMS[name])
+    base = ckpt_dir_or_file or DEFAULT_CKPT_DIR
+    if os.path.isfile(base):
+        net["ckpt_path"] = base
+    else:
+        net["ckpt_path"] = os.path.join(base, net["ckpt"])
+    net["converted_path"] = net["ckpt_path"] + ".msgpack"
+    return net
+
+
+def maybe_get_ckpt_file(net: Dict[str, str], allow_download: bool = False
+                        ) -> Optional[str]:
+    """Resolve (and convert) a pretrained checkpoint.
+
+    Returns the converted msgpack path, or None when unavailable. Download
+    is off by default (zero-egress environments); when enabled, mirrors the
+    reference's fetch+extract (common/utils.py:33-160).
+    """
+    converted = net["converted_path"]
+    if os.path.exists(converted):
+        return converted
+    ckpt = net["ckpt_path"]
+    if not (os.path.exists(ckpt) or os.path.exists(ckpt + ".index")):
+        if not allow_download:
+            return None
+        os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+        tar_path = ckpt + ".tar.gz"
+        urllib.request.urlretrieve(net["url"], tar_path)
+        with tarfile.open(tar_path) as tf:
+            tf.extractall(os.path.dirname(ckpt))
+        os.remove(tar_path)
+    from .tf_checkpoint import convert_slim_checkpoint
+
+    name = os.path.basename(ckpt).split(".")[0].rsplit("_1.0", 1)[0]
+    cnn_name = "inception_v1" if "inception_v1" in name else name
+    return convert_slim_checkpoint(ckpt, converted, cnn_name)
