@@ -1,0 +1,107 @@
+"""Data-parallel mesh tests on the virtual 8-device CPU platform."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comic_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    make_mesh_for_batch,
+    replicate,
+    shard_batch,
+)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_for_batch_divisibility():
+    assert make_mesh_for_batch(32).devices.size == 8
+    assert make_mesh_for_batch(4).devices.size == 4
+    assert make_mesh_for_batch(7).devices.size == 7
+    assert make_mesh_for_batch(32, 61).devices.size == 1
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh(8)
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    sx = shard_batch(mesh, x)
+    assert sx.sharding.is_equivalent_to(batch_sharding(mesh), 2)
+    np.testing.assert_allclose(np.asarray(sx), x)
+
+
+def test_dp_gradients_match_single_device():
+    """Replicated params + sharded batch must produce the same update as
+    single-device execution (XLA inserts the all-reduce)."""
+
+    def loss(w, x, y):
+        pred = x @ w
+        return jnp.mean((pred - y) ** 2)
+
+    grad = jax.jit(jax.grad(loss))
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(5, 3)).astype(np.float32)
+    x = rng.normal(size=(16, 5)).astype(np.float32)
+    y = rng.normal(size=(16, 3)).astype(np.float32)
+
+    g_single = np.asarray(grad(jnp.asarray(w), jnp.asarray(x), jnp.asarray(y)))
+
+    mesh = make_mesh(8)
+    wr = replicate(mesh, jnp.asarray(w))
+    xs, ys = shard_batch(mesh, (x, y))
+    g_dp = np.asarray(grad(wr, xs, ys))
+    np.testing.assert_allclose(g_single, g_dp, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_step_dp_equivalence():
+    """The full fused XE train step computes identical parameter updates on
+    a 1-device and an 8-device mesh."""
+    from comic_tpu.configuration import Config
+    from comic_tpu.models.captioner import build_model_spec, init_params
+    from comic_tpu.parallel.mesh import make_mesh
+    from comic_tpu.tokenization import Vocabulary
+    from comic_tpu.training.optimizer import build_optimizer
+    from comic_tpu.training.schedule import cosine_schedule
+    from comic_tpu.training.xe import TrainState, make_train_step
+
+    wtoi = {"<PAD>": -1, "w": 0, "<UNK>": 1, "<GO>": 2, "<EOS>": 3}
+    vocab = Vocabulary(wtoi)
+    c = Config(token_type="radix", radix_base=8, rnn_size=16,
+               rnn_word_size=8, attn_num_heads=2, compute_dtype="float32",
+               cnn_input_size=(64, 64), dropout_rnn_in=0.0,
+               dropout_rnn_out=0.0, attn_keep_prob=1.0, freeze_scopes="",
+               cnn_input_augment=False)
+    spec = build_model_spec(c, vocab)
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (8, 256, 256, 3), dtype=np.uint8)
+    caps = np.full((8, 6), -1, np.int32)
+    caps[:, 0] = 8
+    caps[:, 1:4] = rng.integers(0, 8, (8, 3))
+    caps[:, 4] = 9
+
+    results = []
+    for n_dev in (1, 8):
+        params = init_params(jax.random.PRNGKey(0), spec)
+        optimizer, mask = build_optimizer(
+            params, cosine_schedule(1e-3, 1e-4, 10), freeze_scopes="")
+        opt_state = optimizer.init(params)
+        mesh = make_mesh(n_dev)
+        state = TrainState(replicate(mesh, params),
+                           replicate(mesh, opt_state),
+                           jnp.asarray(0, jnp.int32))
+        step = make_train_step(spec, c, optimizer, mask, (64, 64))
+        b = shard_batch(mesh, (images, caps))
+        state, metrics = step(state, b[0], b[1], jax.random.PRNGKey(7))
+        results.append((
+            float(metrics["total_loss"]),
+            np.asarray(state.params["decoder"]["embedding"]),
+        ))
+
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5)
+    np.testing.assert_allclose(results[0][1], results[1][1],
+                               rtol=1e-4, atol=1e-6)
