@@ -118,15 +118,32 @@ def preprocess_batch(images_u8: jnp.ndarray, key: jax.Array,
     return (imgs - 0.5) * 2.0
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def preprocess_batch_vgg(images_u8: jnp.ndarray, out_h: int, out_w: int
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def preprocess_batch_vgg(images_u8: jnp.ndarray, key: jax.Array,
+                         out_h: int, out_w: int, training: bool
                          ) -> jnp.ndarray:
-    """VGG/ResNet eval path: central crop then RGB mean subtraction
-    (vgg_preprocessing.py:286-365), on 0-255 scale."""
+    """VGG/ResNet path: 0-255 scale, RGB mean subtraction
+    (vgg_preprocessing.py:286-365); train adds random flip + crop, eval
+    central-crops."""
     imgs = images_u8.astype(jnp.float32)
-    imgs = jax.vmap(central_crop_or_pad, in_axes=(0, None, None))(
-        imgs, out_h, out_w)
+    if training:
+        keys = jax.random.split(key, images_u8.shape[0])
+        imgs = jax.vmap(_augment_one, in_axes=(0, 0, None, None))(
+            imgs, keys, out_h, out_w)
+    else:
+        imgs = jax.vmap(central_crop_or_pad, in_axes=(0, None, None))(
+            imgs, out_h, out_w)
     return imgs - jnp.asarray(VGG_MEANS_RGB)
+
+
+def preprocess_for(cnn_name: str):
+    """Encoder name -> batched preprocessing fn
+    (preprocessing_factory.py:31-84 dispatch: inception/mobilenet/nasnet ->
+    inception-style, resnet/vgg -> vgg-style)."""
+    from ..models.encoders import get_encoder
+
+    kind = get_encoder(cnn_name).preprocessing
+    return preprocess_batch_vgg if kind == "vgg" else preprocess_batch
 
 
 # --------------------------------------------------------------------------

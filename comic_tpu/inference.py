@@ -26,7 +26,7 @@ import numpy as np
 
 from .configuration import Config
 from .data.pipeline import InferencePipeline
-from .data.preprocessing import preprocess_batch
+from .data.preprocessing import preprocess_for
 from .decoding import beam_search, greedy_or_sample
 from .evaluation.coco_eval import (
     evaluate_captions,
@@ -58,11 +58,12 @@ def make_serve_fn(spec, config: Config, steps: int):
     h, w = config.cnn_input_size
     beam = int(config.infer_beam_size)
     lpen = float(config.infer_length_penalty_weight or 0.0)
+    preprocess = preprocess_for(config.cnn_name)
 
     @jax.jit
     def serve(params, images_u8):
-        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
-                                  False)
+        images = preprocess(images_u8, jax.random.PRNGKey(0), h, w,
+                            False)
         if beam > 1:
             top, _ = beam_search(params, spec, images, beam_size=beam,
                                  max_steps=steps, length_penalty=lpen)

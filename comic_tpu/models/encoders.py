@@ -72,6 +72,64 @@ register(EncoderSpec(
 ))
 
 
+def _register_resnets():
+    from . import resnet
+
+    for name in resnet.RESNET_V1_UNITS:
+        register(EncoderSpec(
+            name=name,
+            init=(lambda key, n=name: resnet.init_params(key, n)),
+            apply=(lambda p, x, final_endpoint="block4", dtype=None, n=name:
+                   resnet.apply(p, x, n, final_endpoint, dtype)),
+            pooled=resnet.pooled_features,
+            default_image_size=resnet.DEFAULT_IMAGE_SIZE,
+            feature_dim=resnet.FEATURE_DIM,
+            default_fm_endpoint="block3",
+            fm_channels={"block1": 256, "block2": 512, "block3": 1024,
+                         "block4": 2048},
+            preprocessing="vgg",
+        ))
+
+
+def _register_vggs():
+    from . import vgg
+
+    for name in vgg.VGG_LAYERS:
+        register(EncoderSpec(
+            name=name,
+            init=(lambda key, n=name: vgg.init_params(key, n)),
+            apply=(lambda p, x, final_endpoint="fc7", dtype=None, n=name:
+                   vgg.apply(p, x, n, final_endpoint, dtype)),
+            pooled=vgg.pooled_features,
+            default_image_size=vgg.DEFAULT_IMAGE_SIZE,
+            feature_dim=vgg.FEATURE_DIM,
+            default_fm_endpoint="conv5_3" if name == "vgg_16" else "conv5_4",
+            fm_channels={"conv4_3": 512, "conv5_3": 512, "conv5_4": 512},
+            preprocessing="vgg",
+        ))
+
+
+def _register_mobilenet():
+    from . import mobilenet_v1 as mb
+
+    register(EncoderSpec(
+        name="mobilenet_v1",
+        init=mb.init_params,
+        apply=mb.apply,
+        pooled=mb.pooled_features,
+        default_image_size=mb.DEFAULT_IMAGE_SIZE,
+        feature_dim=mb.FEATURE_DIM,
+        default_fm_endpoint="Conv2d_11_pointwise",
+        fm_channels={"Conv2d_11_pointwise": 512, "Conv2d_13_pointwise": 1024},
+        preprocessing="inception",
+    ))
+
+
+_register_resnets()
+_register_vggs()
+_register_mobilenet()
+
+
 # --- the reference's `_encoder` (model_base.py:56-104) ---------------------
 
 def encoder_init(key, cnn_name: str, legacy: bool = False) -> Params:

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..configuration import Config
 from ..data.pipeline import ScstPipeline
-from ..data.preprocessing import preprocess_batch
+from ..data.preprocessing import preprocess_for
 from ..decoding.search import beam_search_from_memory, greedy_or_sample_from_memory
 from ..models.attention import AttentionMemory, precompute
 from ..models.captioner import (
@@ -87,10 +87,11 @@ def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary):
     beam = int(config.scst_beam_size)
     steps = scst_decode_steps(config, vocab)
     augment = bool(config.cnn_input_augment)
+    preprocess = preprocess_for(config.cnn_name)
 
     @jax.jit
     def rollout(params, images_u8, key):
-        images = preprocess_batch(images_u8, key, h, w, augment)
+        images = preprocess(images_u8, key, h, w, augment)
         im_embed, fmaps = encode_images(
             params["encoder"], images, spec.cnn_name, spec.fm_endpoint,
             legacy=spec.legacy, dtype=spec.compute_dtype)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..configuration import Config
 from ..data.pipeline import TrainPipeline
-from ..data.preprocessing import preprocess_batch
+from ..data.preprocessing import preprocess_for
 from ..data import captions as cap_io
 from ..models.captioner import (
     ModelSpec,
@@ -56,12 +56,13 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
     """
     h, w = image_size
     augment = bool(config.cnn_input_augment)
+    preprocess = preprocess_for(config.cnn_name)
     map_scale = float(config.rnn_map_loss_scale)
     l2_decay = float(config.l2_decay)
 
     def loss_fn(params, images_u8, captions, rng):
         k_aug, k_drop = jax.random.split(rng)
-        images = preprocess_batch(images_u8, k_aug, h, w, augment)
+        images = preprocess(images_u8, k_aug, h, w, augment)
         log_ppl, aux = xe_forward(params, spec, images, captions,
                                   rng=k_drop, training=True)
         map_loss = attention_map_loss(aux["alignments"], map_scale)
@@ -86,11 +87,12 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
 def make_eval_step(spec: ModelSpec, config: Config,
                    image_size: Tuple[int, int]):
     h, w = image_size
+    preprocess = preprocess_for(config.cnn_name)
 
     @jax.jit
     def eval_step(params, images_u8, captions):
-        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
-                                  False)
+        images = preprocess(images_u8, jax.random.PRNGKey(0), h, w,
+                            False)
         log_ppl, _ = xe_forward(params, spec, images, captions,
                                 training=False)
         return log_ppl

@@ -1,0 +1,93 @@
+"""Encoder zoo tests: resnet/vgg/mobilenet structure + registry wiring."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from comic_tpu.models import mobilenet_v1 as mb
+from comic_tpu.models import resnet, vgg
+from comic_tpu.models.encoders import available_encoders, encode_images, encoder_init, get_encoder
+from comic_tpu.models.layers import count_params
+
+
+class TestResnet:
+    @pytest.fixture(scope="class")
+    def params(self):
+        return resnet.init_params(jax.random.PRNGKey(0), "resnet_v1_50")
+
+    def test_endpoint_shapes(self, params):
+        x = jnp.zeros((1, 224, 224, 3))
+        net, ep = resnet.apply(params, x, "resnet_v1_50")
+        assert ep["conv1"].shape == (1, 112, 112, 64)
+        assert ep["block1"].shape == (1, 28, 28, 256)
+        assert ep["block2"].shape == (1, 14, 14, 512)
+        assert ep["block3"].shape == (1, 7, 7, 1024)
+        assert ep["block4"].shape == (1, 7, 7, 2048)
+        assert resnet.pooled_features(net).shape == (1, 2048)
+
+    def test_param_count_r50(self, params):
+        # ResNet-50 backbone (no fc) ~23.5M
+        n = count_params(params)
+        assert 23e6 < n < 24.5e6, n
+
+    def test_r101_unit_count(self):
+        p = resnet.init_params(jax.random.PRNGKey(0), "resnet_v1_101")
+        assert len(p["block3"]) == 23
+
+
+class TestVgg:
+    def test_endpoint_shapes(self):
+        p = vgg.init_params(jax.random.PRNGKey(0), "vgg_16")
+        x = jnp.zeros((1, 224, 224, 3))
+        net, ep = vgg.apply(p, x, "vgg_16")
+        assert ep["conv5_3"].shape == (1, 14, 14, 512)
+        assert ep["fc7"].shape == (1, 1, 1, 4096)
+        assert vgg.pooled_features(net).shape == (1, 4096)
+
+    def test_param_count(self):
+        p = vgg.init_params(jax.random.PRNGKey(0), "vgg_16")
+        n = count_params(p)
+        # 14.7M convs + 102.8M fc6 + 16.8M fc7
+        assert 130e6 < n < 140e6, n
+
+
+class TestMobilenet:
+    def test_endpoint_shapes(self):
+        p = mb.init_params(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 224, 224, 3))
+        net, ep = mb.apply(p, x)
+        assert ep["Conv2d_11_pointwise"].shape == (1, 14, 14, 512)
+        assert ep["Conv2d_13_pointwise"].shape == (1, 7, 7, 1024)
+        assert mb.pooled_features(net).shape == (1, 1024)
+
+    def test_param_count(self):
+        n = count_params(mb.init_params(jax.random.PRNGKey(0)))
+        # MobileNet-V1 1.0 backbone ~3.2M
+        assert 3.0e6 < n < 3.5e6, n
+
+
+class TestRegistry:
+    def test_zoo_contents(self):
+        names = available_encoders()
+        for want in ("inception_v1", "resnet_v1_50", "resnet_v1_101",
+                     "resnet_v1_152", "vgg_16", "vgg_19", "mobilenet_v1"):
+            assert want in names
+
+    def test_encode_images_resnet(self):
+        p = encoder_init(jax.random.PRNGKey(0), "resnet_v1_50")
+        emb, fm = encode_images(p, jnp.zeros((1, 224, 224, 3)),
+                                "resnet_v1_50", "block3")
+        assert emb.shape == (1, 2048)
+        assert fm.shape == (1, 49, 1024)
+
+    def test_preprocessing_dispatch(self):
+        from comic_tpu.data.preprocessing import (
+            preprocess_batch,
+            preprocess_batch_vgg,
+            preprocess_for,
+        )
+
+        assert preprocess_for("inception_v1") is preprocess_batch
+        assert preprocess_for("mobilenet_v1") is preprocess_batch
+        assert preprocess_for("resnet_v1_50") is preprocess_batch_vgg
+        assert preprocess_for("vgg_16") is preprocess_batch_vgg
