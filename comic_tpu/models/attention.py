@@ -99,19 +99,24 @@ def precompute(p: Params, cfg: AttentionConfig, feature_map: jnp.ndarray,
     One batched matmul per image instead of per decode step — the reference
     gets this from contrib's memory_layer applied at mechanism construction
     (ops_rnn.py:440-447); here it is explicit.
+
+    With a compute dtype set, keys/values are STORED in that dtype: the
+    decode loop re-reads them from HBM every step, so halving their width
+    (bfloat16) halves the dominant memory traffic of the decode phase.
     """
-    keys = dense_apply(p["memory_layer"], feature_map, dtype=dtype)
+    store = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
+    keys = store(dense_apply(p["memory_layer"], feature_map, dtype=dtype))
     if cfg.fm_projection == "tied":
         values = split_heads(keys, cfg.num_heads)
     elif cfg.fm_projection == "independent":
         values = split_heads(
-            dense_apply(p["value_layer"], feature_map, dtype=dtype),
+            store(dense_apply(p["value_layer"], feature_map, dtype=dtype)),
             cfg.num_heads)
     elif cfg.fm_projection is None:
         if cfg.memory_channels % cfg.num_heads != 0:
             raise ValueError(
                 "For `none` projection the channel dim must divide num_heads")
-        values = split_heads(feature_map, cfg.num_heads)
+        values = split_heads(store(feature_map), cfg.num_heads)
     else:
         raise ValueError(f"Invalid fm_projection: {cfg.fm_projection}")
     return AttentionMemory(keys=keys, values=values)
@@ -140,19 +145,24 @@ def attend(p: Params, cfg: AttentionConfig, query: jnp.ndarray,
       (context, alignments): context (B, context_size); alignments (B, H, L).
     """
     proj_q = dense_apply(p["query_layer"], query, dtype=dtype)[:, None, :]
+    # keep the big (B, L, U) score chain in the keys' storage dtype
+    # (bfloat16 under a compute dtype); reductions accumulate in f32
+    proj_q = proj_q.astype(memory.keys.dtype)
     if cfg.alignment in ("add_LN", "add"):
         score = memory.keys + proj_q  # (B, L, U)
         if cfg.alignment == "add_LN":
             score = layer_norm_apply(p["ln"], score, activation=jnp.tanh)
         else:
             score = jnp.tanh(score)
-        score = score * p["v"]
-        score = split_heads(score, cfg.num_heads).sum(axis=3)  # (B, H, L)
+        score = score * p["v"].astype(score.dtype)
+        score = jnp.sum(split_heads(score, cfg.num_heads), axis=3,
+                        dtype=jnp.float32)  # (B, H, L)
         if cfg.scale:
             score = score / p["softmax_temperature"]
     elif cfg.alignment == "dot":
         score = memory.keys * proj_q
-        score = split_heads(score, cfg.num_heads).sum(axis=3)
+        score = jnp.sum(split_heads(score, cfg.num_heads), axis=3,
+                        dtype=jnp.float32)
         score = score / jnp.sqrt(jnp.float32(cfg.num_units / cfg.num_heads))
     else:
         raise ValueError(f"Invalid alignment method: {cfg.alignment}")
@@ -175,6 +185,62 @@ def attend(p: Params, cfg: AttentionConfig, query: jnp.ndarray,
         preferred_element_type=jnp.float32)
     # head-major flatten, same layout as combine_heads on (B, H, 1, D)
     context = context.reshape(context.shape[0], -1)
+    if cfg.context_layer:
+        context = dense_apply(p["a_layer"], context, dtype=dtype)
+    return context.astype(jnp.float32), alignments
+
+
+def attend_grouped(p: Params, cfg: AttentionConfig, query: jnp.ndarray,
+                   memory: AttentionMemory, dtype=None,
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam-grouped attention step: K queries per image share one memory.
+
+    Args:
+      query: (B, K, U) — K beam hypotheses per image.
+      memory: UNtiled per-image keys/values ((B, L, U) / (B, H, L, D)).
+    Returns:
+      (context (B, K, context_size), alignments (B, K, H, L)).
+
+    Mathematically identical to `attend` on beam-tiled memory, but the keys
+    and values are READ once per image instead of once per hypothesis — the
+    decode loop is memory-bound on exactly these reads, so this cuts the
+    dominant traffic by the beam width.
+    """
+    b, k, _ = query.shape
+    proj_q = dense_apply(p["query_layer"], query, dtype=dtype)
+    proj_q = proj_q.astype(memory.keys.dtype)
+    keys = memory.keys[:, None]  # (B, 1, L, U)
+    if cfg.alignment in ("add_LN", "add"):
+        score = keys + proj_q[:, :, None, :]  # (B, K, L, U)
+        if cfg.alignment == "add_LN":
+            score = layer_norm_apply(p["ln"], score, activation=jnp.tanh)
+        else:
+            score = jnp.tanh(score)
+        score = score * p["v"].astype(score.dtype)
+        l, u = score.shape[2], score.shape[3]
+        score = jnp.sum(
+            score.reshape(b, k, l, cfg.num_heads, u // cfg.num_heads),
+            axis=4, dtype=jnp.float32)  # (B, K, L, H)
+        score = jnp.transpose(score, (0, 1, 3, 2))  # (B, K, H, L)
+        if cfg.scale:
+            score = score / p["softmax_temperature"]
+    elif cfg.alignment == "dot":
+        score = keys * proj_q[:, :, None, :]
+        l, u = score.shape[2], score.shape[3]
+        score = jnp.sum(
+            score.reshape(b, k, l, cfg.num_heads, u // cfg.num_heads),
+            axis=4, dtype=jnp.float32)
+        score = jnp.transpose(score, (0, 1, 3, 2))
+        score = score / jnp.sqrt(jnp.float32(cfg.num_units / cfg.num_heads))
+    else:
+        raise ValueError(f"Invalid alignment method: {cfg.alignment}")
+
+    alignments = _probability(cfg, score)  # (B, K, H, L)
+    context = jnp.einsum(
+        "bkhl,bhld->bkhd",
+        alignments.astype(memory.values.dtype), memory.values,
+        preferred_element_type=jnp.float32)
+    context = context.reshape(b, k, -1)
     if cfg.context_layer:
         context = dense_apply(p["a_layer"], context, dtype=dtype)
     return context.astype(jnp.float32), alignments

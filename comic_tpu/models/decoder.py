@@ -173,6 +173,31 @@ def step(p: Params, cfg: DecoderConfig, word_vec: jnp.ndarray,
     return logits, alignments, DecoderState(cell_state, context)
 
 
+def step_grouped(p: Params, cfg: DecoderConfig, word_vec: jnp.ndarray,
+                 state: DecoderState, memory: AttentionMemory, k: int, *,
+                 dtype=None,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecoderState]:
+    """Beam-grouped decode step: rows are (B*K) hypotheses, memory is the
+    UNtiled per-image attention memory.
+
+    The cell/projection (no per-image data) run on flat rows; attention runs
+    grouped so keys/values are read once per image instead of once per beam
+    (models/attention.attend_grouped). Inference-only: no dropout.
+    """
+    from .attention import attend_grouped
+
+    x = jnp.concatenate([word_vec, state.attention], axis=-1)
+    cell = make_cell(cfg)
+    h, cell_state = cell.step(p["cell"], x, state.cell_state, dtype=dtype)
+    b = memory.keys.shape[0]
+    context, alignments = attend_grouped(
+        p["attention"], cfg.attention, h.reshape(b, k, -1), memory,
+        dtype=dtype)
+    logits = dense_apply(p["output_projection"], h, dtype=dtype)
+    context = context.reshape(b * k, -1)
+    return logits, alignments, DecoderState(cell_state, context)
+
+
 def teacher_forced(p: Params, cfg: DecoderConfig, inputs: jnp.ndarray,
                    im_embed: jnp.ndarray, feature_map: jnp.ndarray, *,
                    rng: Optional[jax.Array] = None, training: bool = False,

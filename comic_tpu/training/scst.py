@@ -99,10 +99,11 @@ def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary):
                             spec.decoder.attention, fmaps,
                             dtype=spec.compute_dtype)
         greedy = greedy_or_sample_from_memory(
-            params["decoder"], spec, im_embed, memory, max_steps=steps)
+            params["decoder"], spec, im_embed, memory, max_steps=steps,
+            collect_alignments=False)
         _, all_beams = beam_search_from_memory(
             params["decoder"], spec, im_embed, memory, beam_size=beam,
-            max_steps=steps, length_penalty=0.0)
+            max_steps=steps, length_penalty=0.0, collect_alignments=False)
         return greedy.ids, all_beams["ids"], im_embed, fmaps
 
     return rollout
