@@ -15,7 +15,8 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from .bleu import BleuScorer
-from .cider import Cider, CiderD
+from .cider import Cider
+from .cider_native import make_ciderd
 from .ngrams import load_idf_cache
 
 
@@ -23,11 +24,13 @@ class CaptionScorer:
     def __init__(self, path_to_cached_tokens: Optional[str],
                  metric_weights: Dict[str, Union[float, Sequence[float]]]):
         """metric_weights e.g. {'ciderD': 1.0, 'bleu': [0, 0, 0, 2]}
-        (reference defaults, src/train.py:141-146)."""
+        (reference defaults, src/train.py:141-146). CIDEr-D runs on the
+        native C++ scorer when a toolchain is available (identical scores;
+        evaluation/cider_native.py)."""
         cache = (load_idf_cache(path_to_cached_tokens)
                  if path_to_cached_tokens else None)
         self._scorers = {
-            "ciderD": CiderD(df=cache),
+            "ciderD": make_ciderd(df=cache),
             "cider": Cider(df=cache),
             "bleu": BleuScorer(4),
         }
