@@ -125,9 +125,26 @@ def _register_mobilenet():
     ))
 
 
+def _register_inception_v3():
+    from . import inception_v3 as iv3
+
+    register(EncoderSpec(
+        name="inception_v3",
+        init=iv3.init_params,
+        apply=iv3.apply,
+        pooled=iv3.pooled_features,
+        default_image_size=iv3.DEFAULT_IMAGE_SIZE,
+        feature_dim=iv3.FEATURE_DIM,
+        default_fm_endpoint="Mixed_6e",
+        fm_channels={"Mixed_5d": 288, "Mixed_6e": 768, "Mixed_7c": 2048},
+        preprocessing="inception",
+    ))
+
+
 _register_resnets()
 _register_vggs()
 _register_mobilenet()
+_register_inception_v3()
 
 
 # --- the reference's `_encoder` (model_base.py:56-104) ---------------------

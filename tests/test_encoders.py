@@ -91,3 +91,36 @@ class TestRegistry:
         assert preprocess_for("mobilenet_v1") is preprocess_batch
         assert preprocess_for("resnet_v1_50") is preprocess_batch_vgg
         assert preprocess_for("vgg_16") is preprocess_batch_vgg
+
+
+class TestInceptionV3:
+    def test_endpoint_shapes_299(self):
+        from comic_tpu.models import inception_v3 as iv3
+        p = iv3.init_params(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 299, 299, 3))
+        net, ep = iv3.apply(p, x)
+        assert ep["Conv2d_4a_3x3"].shape == (1, 71, 71, 192)
+        assert ep["Mixed_5b"].shape == (1, 35, 35, 256)
+        assert ep["Mixed_5c"].shape == (1, 35, 35, 288)
+        assert ep["Mixed_6a"].shape == (1, 17, 17, 768)
+        assert ep["Mixed_6e"].shape == (1, 17, 17, 768)
+        assert ep["Mixed_7a"].shape == (1, 8, 8, 1280)
+        assert ep["Mixed_7c"].shape == (1, 8, 8, 2048)
+        assert iv3.pooled_features(net).shape == (1, 2048)
+
+    def test_param_count(self):
+        from comic_tpu.models import inception_v3 as iv3
+        n = count_params(iv3.init_params(jax.random.PRNGKey(0)))
+        # Inception-V3 base (no logits/aux) ~21.8M
+        assert 21e6 < n < 22.5e6, n
+
+    def test_slim_quirk_scopes_present(self):
+        from comic_tpu.models import inception_v3 as iv3
+        p = iv3.init_params(jax.random.PRNGKey(0))
+        assert "Conv_1_0c_5x5" in p["Mixed_5c"]["Branch_1"]
+        assert "Conv2d_0b_1x1" in p["Mixed_5c"]["Branch_1"]
+
+    def test_registered(self):
+        assert "inception_v3" in available_encoders()
+        spec = get_encoder("inception_v3")
+        assert spec.default_image_size == 299
