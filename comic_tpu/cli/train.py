@@ -84,6 +84,8 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--run", type=int, default=1)
+    p.add_argument("--log_root", type=str, default=None,
+                   help="Experiment root (default <repo>/experiments).")
     return p
 
 
@@ -132,7 +134,7 @@ def resolve_stage(args: argparse.Namespace) -> dict:
     dataset = args.dataset_file_pattern.split("_")[0]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    log_root = pjoin(repo_root, "experiments", dataset)
+    log_root = args.log_root or pjoin(repo_root, "experiments", dataset)
     if not args.dataset_dir:
         args.dataset_dir = pjoin(repo_root, "datasets", dataset)
 
@@ -221,6 +223,7 @@ def main(argv=None):
 
     kwargs = dict(vars(args))
     kwargs.pop("cnn_ckpt_path", None)
+    kwargs.pop("log_root", None)
     kwargs.update(extra)
     kwargs.update(
         rnn_layers=1, dropout_rnn_in=0.35, dropout_rnn_out=0.35,

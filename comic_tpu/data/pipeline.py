@@ -130,7 +130,8 @@ class TrainPipeline:
 
     def __init__(self, config: Config, vocab: Vocabulary, split: str,
                  records: Optional[List[Tuple[str, List[str]]]] = None,
-                 num_workers: int = 8, seed: Optional[int] = None):
+                 num_workers: int = 8, seed: Optional[int] = None,
+                 shard_by_process: bool = True):
         self.config = config
         self.split = split
         self.is_training = "train" in split
@@ -142,6 +143,13 @@ class TrainPipeline:
         if records is None:
             records = cap_io.read_caption_file(cap_io.caption_file_path(
                 config.dataset_dir, config.dataset_file_pattern, split))
+        if shard_by_process and self.is_training:
+            # multi-host: each host feeds its local devices a strided shard
+            # of the training records (single-host: identity)
+            import jax
+
+            if jax.process_count() > 1:
+                records = records[jax.process_index()::jax.process_count()]
         self.records = records
         self.bounds = bucket_boundaries(config, vocab)
         self.batch_size = (config.batch_size_train if self.is_training

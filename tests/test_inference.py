@@ -84,3 +84,58 @@ class TestInferenceEndToEnd:
         assert os.path.exists(os.path.join(save_dir, "metric_scores.csv"))
         assert any(f.startswith("metric_scores_detailed")
                    for f in os.listdir(save_dir))
+
+
+class TestCli:
+    def test_train_cli_stage_resolution(self, tmp_path):
+        from comic_tpu.cli.train import create_parser, experiment_name, resolve_stage
+
+        args = create_parser().parse_args([
+            "--dataset_dir", str(tmp_path), "--log_root", str(tmp_path),
+            "--token_type", "radix", "--radix_base", "256"])
+        name = experiment_name(args)
+        assert name == "radix_b256_add_LN_softmax_h8_tie_lstm"
+        extra = resolve_stage(args)
+        assert extra["log_path"].endswith("radix_b256_add_LN_softmax_h8_tie_lstm_run_01")
+        assert extra["stage_fn"].__name__ == "train_fn"
+
+    def test_cnn_finetune_requires_decoder_dir(self, tmp_path):
+        from comic_tpu.cli.train import create_parser, resolve_stage
+
+        args = create_parser().parse_args([
+            "--dataset_dir", str(tmp_path), "--log_root", str(tmp_path),
+            "--train_mode", "cnn_finetune"])
+        with pytest.raises(ValueError):
+            resolve_stage(args)
+
+    def test_scst_stage_overrides(self, tmp_path):
+        import os
+        from comic_tpu.cli.train import create_parser, resolve_stage
+
+        # fabricate the decoder + cnnFT dirs the chain expects
+        name = "radix_b256_add_LN_softmax_h8_tie_lstm"
+        os.makedirs(tmp_path / f"{name}_run_01")
+        os.makedirs(tmp_path / f"{name}_cnnFT_run_01")
+        args = create_parser().parse_args([
+            "--dataset_dir", str(tmp_path), "--log_root", str(tmp_path),
+            "--train_mode", "scst"])
+        extra = resolve_stage(args)
+        assert args.batch_size_train == 10
+        assert args.freeze_scopes == "encoder/cnn"
+        assert args.scst_weight_bleu == [0.0, 0.0, 0.0, 2.0]
+        assert "SCST_beam_7_CrD_1.0_B1_0.0_B4_2.0" in extra["log_path"]
+        assert extra["stage_fn"].__name__ == "train_fn_scst"
+
+    def test_try_to_train_writes_error_file(self, tmp_path):
+        from comic_tpu.cli.train import try_to_train
+        from comic_tpu.configuration import Config
+
+        c = Config(log_path=str(tmp_path / "exp_x"))
+
+        def boom(config):
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError):
+            try_to_train(boom, c)
+        err = tmp_path / "error__exp_x.txt"
+        assert err.exists() and "boom" in err.read_text()
