@@ -121,10 +121,11 @@ def _conv_bn_relu(p: Params, x: jnp.ndarray, stride: int, dtype=None) -> jnp.nda
     w = p["weights"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
+    # conv runs fully in the compute dtype (mixed-dtype conv has no VJP);
+    # the f32 cast below feeds the f32 BN math and XLA fuses it away
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
     bn = p["BatchNorm"]
     # frozen inference-mode BN (scale=False): XLA folds this into the conv
     inv = jax.lax.rsqrt(bn["moving_variance"] + BN_EPS)

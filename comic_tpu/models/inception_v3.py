@@ -136,8 +136,7 @@ def _conv(p, x, kh_kw, stride, padding, dtype=None):
         x, w = x.astype(dtype), w.astype(dtype)
     y = jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
     bn = p["BatchNorm"]
     inv = jax.lax.rsqrt(bn["moving_variance"] + BN_EPS)
     return jax.nn.relu((y - bn["moving_mean"]) * inv + bn["beta"])

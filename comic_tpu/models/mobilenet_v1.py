@@ -84,8 +84,8 @@ def apply(params: Params, images: jnp.ndarray,
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
     net = jax.lax.conv_general_dilated(
-        x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        x, w, (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
     net = _bn_relu6(params["Conv2d_0"]["BatchNorm"], net)
     end_points["Conv2d_0"] = net
 
@@ -100,8 +100,7 @@ def apply(params: Params, images: jnp.ndarray,
         y = jax.lax.conv_general_dilated(
             x, kernel, (stride, stride), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=cin,
-            preferred_element_type=jnp.float32)
+            feature_group_count=cin).astype(jnp.float32)
         net = _bn_relu6(dw["BatchNorm"], y)
         end_points[f"Conv2d_{i}_depthwise"] = net
 
@@ -111,8 +110,7 @@ def apply(params: Params, images: jnp.ndarray,
             x, wpt = x.astype(dtype), wpt.astype(dtype)
         y = jax.lax.conv_general_dilated(
             x, wpt, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
         net = _bn_relu6(pw["BatchNorm"], y)
         ep = f"Conv2d_{i}_pointwise"
         end_points[ep] = net

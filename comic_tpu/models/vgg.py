@@ -41,8 +41,8 @@ def _conv(p, x, stride=1, padding="SAME", dtype=None, relu=True):
         x, w = x.astype(dtype), w.astype(dtype)
     y = jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32) + p["biases"]
+        dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ).astype(jnp.float32) + p["biases"]
     return jax.nn.relu(y) if relu else y
 
 

@@ -32,7 +32,7 @@ from ..models.captioner import (
     xe_forward,
 )
 from ..models.layers import count_params
-from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, replicate
 from ..tokenization import Vocabulary, build_char_vocab
 from ..utils.summaries import SummaryWriter
 from . import checkpoints as ckpt
@@ -49,10 +49,15 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
-                    image_size: Tuple[int, int]):
+                    image_size: Tuple[int, int], mesh=None):
     """Build the fused jitted train step.
 
     (state, images_u8, captions, rng) -> (state, metrics)
+
+    With a mesh, batch inputs are declared batch-sharded via `in_shardings`
+    so jit performs the (async) sharded host->device transfer itself —
+    calling `jax.device_put` with a NamedSharding from the host loop
+    serializes against queued device work and is ~50x slower per step.
     """
     h, w = image_size
     augment = bool(config.cnn_input_augment)
@@ -70,7 +75,6 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
         total = log_ppl + map_loss + reg
         return total, {"log_ppl": log_ppl, "map_loss": map_loss, "reg": reg}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images_u8, captions, rng):
         (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, images_u8, captions, rng)
@@ -81,7 +85,13 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
         metrics = dict(parts, total_loss=total)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return train_step
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        bsh = batch_sharding(mesh)
+        return jax.jit(train_step, donate_argnums=(0,),
+                       in_shardings=(None, bsh, bsh, None))
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def make_eval_step(spec: ModelSpec, config: Config,
@@ -181,7 +191,7 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
                        jnp.asarray(start_step, jnp.int32))
 
     train_step = make_train_step(spec, config, optimizer, mask,
-                                 tuple(config.cnn_input_size))
+                                 tuple(config.cnn_input_size), mesh=mesh)
     eval_step = make_eval_step(spec, config, tuple(config.cnn_input_size))
 
     writer = SummaryWriter(config.log_path)
@@ -198,8 +208,9 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
     while step < max_step:
         images, caps = next(data_iter)
         rng, sub = jax.random.split(rng)
-        batch = shard_batch(mesh, (images, caps))
-        state, metrics = train_step(state, batch[0], batch[1], sub)
+        # raw numpy in: jit shards + transfers asynchronously per
+        # in_shardings (see make_train_step)
+        state, metrics = train_step(state, images, caps, sub)
         step += 1
         n_since += images.shape[0]
 
