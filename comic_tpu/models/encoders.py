@@ -125,6 +125,22 @@ def _register_mobilenet():
     ))
 
 
+def _register_inception_v2():
+    from . import inception_v2 as iv2
+
+    register(EncoderSpec(
+        name="inception_v2",
+        init=iv2.init_params,
+        apply=iv2.apply,
+        pooled=iv2.pooled_features,
+        default_image_size=iv2.DEFAULT_IMAGE_SIZE,
+        feature_dim=iv2.FEATURE_DIM,
+        default_fm_endpoint="Mixed_4e",
+        fm_channels={"Mixed_3c": 320, "Mixed_4e": 576, "Mixed_5c": 1024},
+        preprocessing="inception",
+    ))
+
+
 def _register_inception_v3():
     from . import inception_v3 as iv3
 
@@ -145,6 +161,7 @@ _register_resnets()
 _register_vggs()
 _register_mobilenet()
 _register_inception_v3()
+_register_inception_v2()
 
 
 # --- the reference's `_encoder` (model_base.py:56-104) ---------------------

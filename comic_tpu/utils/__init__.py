@@ -1,3 +1,3 @@
-from . import natural_sort, summaries
+from . import io, natural_sort, net_params, profiling, summaries
 
-__all__ = ["natural_sort", "summaries"]
+__all__ = ["io", "natural_sort", "net_params", "profiling", "summaries"]

@@ -124,3 +124,29 @@ class TestInceptionV3:
         assert "inception_v3" in available_encoders()
         spec = get_encoder("inception_v3")
         assert spec.default_image_size == 299
+
+
+class TestInceptionV2:
+    def test_endpoint_shapes_224(self):
+        from comic_tpu.models import inception_v2 as iv2
+        p = iv2.init_params(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 224, 224, 3))
+        net, ep = iv2.apply(p, x)
+        assert ep["Conv2d_1a_7x7"].shape == (1, 112, 112, 64)
+        assert ep["MaxPool_3a_3x3"].shape == (1, 28, 28, 192)
+        assert ep["Mixed_3b"].shape == (1, 28, 28, 256)
+        assert ep["Mixed_3c"].shape == (1, 28, 28, 320)
+        assert ep["Mixed_4a"].shape == (1, 14, 14, 576)
+        assert ep["Mixed_4e"].shape == (1, 14, 14, 576)
+        assert ep["Mixed_5a"].shape == (1, 7, 7, 1024)
+        assert ep["Mixed_5c"].shape == (1, 7, 7, 1024)
+        assert iv2.pooled_features(net).shape == (1, 1024)
+
+    def test_param_count(self):
+        from comic_tpu.models import inception_v2 as iv2
+        n = count_params(iv2.init_params(jax.random.PRNGKey(0)))
+        # Inception-V2 base ~10.2M
+        assert 9.5e6 < n < 11e6, n
+
+    def test_registered(self):
+        assert "inception_v2" in available_encoders()
