@@ -75,9 +75,14 @@ def make_serve_fn(spec, config: Config, steps: int):
 
 
 def run_inference(config: Config, ckpt_path: str,
-                  save_attention: bool = False
-                  ) -> Tuple[str, str]:
+                  save_attention: bool = False,
+                  serve=None, pipe=None) -> Tuple[str, str]:
     """Generate captions for the configured infer set with one checkpoint.
+
+    `serve`/`pipe` can be passed in to reuse the compiled decode program and
+    the file list across a checkpoint sweep (weights are an argument, so one
+    compilation serves every checkpoint — the reference rebuilds its graph
+    per checkpoint, infer.py:104-138).
 
     Returns (save_dir, caption_json_path).
     """
@@ -86,9 +91,9 @@ def run_inference(config: Config, ckpt_path: str,
     params = init_params(jax.random.PRNGKey(0), spec)
     params = ckpt.load_compact(ckpt_path, params)
 
-    pipe = InferencePipeline(config)
+    pipe = pipe or InferencePipeline(config)
     steps = max_decode_steps(config, vocab)
-    serve = make_serve_fn(spec, config, steps)
+    serve = serve or make_serve_fn(spec, config, steps)
 
     ckpt_name = os.path.basename(ckpt_path).replace(".msgpack", "")
     save_dir = pjoin(config.log_path, infer_dir_name(config))
@@ -127,7 +132,8 @@ def run_inference(config: Config, ckpt_path: str,
 
 def evaluate_model(config: Config, ckpt_path: str,
                    annotations_file: Optional[str] = None,
-                   jar_dir: str = "") -> Optional[Dict[str, float]]:
+                   jar_dir: str = "", serve=None, pipe=None
+                   ) -> Optional[Dict[str, float]]:
     """run_inference + metric scoring + artifacts (infer_fn.py:188-292).
 
     Skips work already done (existing caption JSON reused). Returns scores
@@ -136,7 +142,8 @@ def evaluate_model(config: Config, ckpt_path: str,
     save_dir = pjoin(config.log_path, infer_dir_name(config))
     json_path = pjoin(save_dir, f"captions___{ckpt_name}.json")
     if not os.path.exists(json_path):
-        _, json_path = run_inference(config, ckpt_path)
+        _, json_path = run_inference(config, ckpt_path, serve=serve,
+                                     pipe=pipe)
 
     if annotations_file is None:
         annotations_file = config.get("annotations_file")
@@ -158,10 +165,15 @@ def sweep_checkpoints(config: Config,
     if not names:
         raise FileNotFoundError(
             f"No compact checkpoints under {config.log_path}")
+    vocab = Vocabulary.from_str_itow(config.wtoi, config.itow)
+    spec = build_model_spec(config, vocab)
+    serve = make_serve_fn(spec, config, max_decode_steps(config, vocab))
+    pipe = InferencePipeline(config)
     results = {}
     for name in names:
         path = pjoin(config.log_path, name + ".msgpack")
-        scores = evaluate_model(config, path, annotations_file, jar_dir)
+        scores = evaluate_model(config, path, annotations_file, jar_dir,
+                                serve=serve, pipe=pipe)
         if scores is not None:
             results[name] = scores
     return results
