@@ -215,7 +215,17 @@ def teacher_forced(p: Params, cfg: DecoderConfig, inputs: jnp.ndarray,
 
     t_steps = inputs.shape[1]
     use_dropout = training and rng is not None
+    recurrent_noise = None
     if use_dropout:
+        if cfg.recurrent_dropout and cfg.dropout_in > 0:
+            # variational recurrent dropout: ONE input mask reused at every
+            # time step (tf DropoutWrapper(variational_recurrent=True),
+            # model_base.py:641-647)
+            rng, k_noise = jax.random.split(rng)
+            keep = 1.0 - cfg.dropout_in
+            mask = jax.random.bernoulli(
+                k_noise, keep, (inputs.shape[0], cfg.rnn_input_size))
+            recurrent_noise = jnp.where(mask, 1.0 / keep, 0.0)
         xs = (word_vecs_t, jax.random.split(rng, t_steps))
     else:
         xs = (word_vecs_t, jnp.zeros((t_steps,), jnp.int32))
@@ -229,7 +239,7 @@ def teacher_forced(p: Params, cfg: DecoderConfig, inputs: jnp.ndarray,
             rngs = StepRNGs()
         logits, align, new_state = step(
             p, cfg, wv, state, memory, rngs=rngs, training=use_dropout,
-            dtype=dtype)
+            dtype=dtype, recurrent_noise=recurrent_noise)
         return new_state, (logits, align)
 
     _, (logits_t, align_t) = jax.lax.scan(body, state0, xs)

@@ -83,6 +83,11 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
         metrics = dict(parts, total_loss=total)
+        # learned attention temperature, logged like the reference's
+        # 'softmax_temperatures' summary collection (model.py:70-71)
+        temp = params["decoder"]["attention"].get("softmax_temperature")
+        if temp is not None:
+            metrics["softmax_temperature"] = temp
         return TrainState(params, opt_state, state.step + 1), metrics
 
     if mesh is not None:

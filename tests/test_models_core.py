@@ -279,3 +279,17 @@ class TestParamCounts:
         p = decoder_init(jax.random.PRNGKey(0), cfg)
         n = layers.count_params(p)
         assert abs(n - 12.7e6) < 0.15e6, n
+
+
+class TestVariationalDropout:
+    def test_recurrent_dropout_runs_and_differs(self, rng):
+        cfg = _dec_cfg()._replace(recurrent_dropout=True, dropout_in=0.5)
+        p = decoder_init(jax.random.PRNGKey(20), cfg)
+        B, T, L = 2, 5, 4
+        inputs = jnp.asarray(rng.integers(0, 10, size=(B, T)))
+        im = jnp.asarray(rng.normal(size=(B, 20)).astype(np.float32))
+        fm = jnp.asarray(rng.normal(size=(B, L, 12)).astype(np.float32))
+        l_eval, _ = teacher_forced(p, cfg, inputs, im, fm)
+        l_tr, _ = teacher_forced(p, cfg, inputs, im, fm,
+                                 rng=jax.random.PRNGKey(0), training=True)
+        assert not np.allclose(np.asarray(l_eval), np.asarray(l_tr))
