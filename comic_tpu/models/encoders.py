@@ -157,11 +157,49 @@ def _register_inception_v3():
     ))
 
 
+def _register_resnet_v2():
+    from . import resnet_v2 as r2
+
+    for name in r2.RESNET_V2_UNITS:
+        register(EncoderSpec(
+            name=name,
+            init=(lambda key, n=name: r2.init_params(key, n)),
+            apply=(lambda p, x, final_endpoint="postnorm", dtype=None,
+                   n=name: r2.apply(p, x, n, final_endpoint, dtype)),
+            pooled=r2.pooled_features,
+            default_image_size=r2.DEFAULT_IMAGE_SIZE,
+            feature_dim=r2.FEATURE_DIM,
+            default_fm_endpoint="block3",
+            fm_channels={"block1": 256, "block2": 512, "block3": 1024,
+                         "block4": 2048, "postnorm": 2048},
+            preprocessing="vgg",
+        ))
+
+
+def _register_mobilenet_v2():
+    from . import mobilenet_v2 as m2
+
+    register(EncoderSpec(
+        name="mobilenet_v2",
+        init=m2.init_params,
+        apply=m2.apply,
+        pooled=m2.pooled_features,
+        default_image_size=m2.DEFAULT_IMAGE_SIZE,
+        feature_dim=m2.FEATURE_DIM,
+        default_fm_endpoint="expanded_conv_12",
+        fm_channels={"expanded_conv_12": 96, "expanded_conv_16": 320,
+                     "Conv_1": 1280},
+        preprocessing="inception",
+    ))
+
+
 _register_resnets()
 _register_vggs()
 _register_mobilenet()
 _register_inception_v3()
 _register_inception_v2()
+_register_resnet_v2()
+_register_mobilenet_v2()
 
 
 # --- the reference's `_encoder` (model_base.py:56-104) ---------------------

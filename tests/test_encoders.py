@@ -150,3 +150,40 @@ class TestInceptionV2:
 
     def test_registered(self):
         assert "inception_v2" in available_encoders()
+
+
+class TestResnetV2:
+    def test_shapes_and_registration(self):
+        from comic_tpu.models import resnet_v2 as r2
+        p = r2.init_params(jax.random.PRNGKey(0), "resnet_v2_50")
+        x = jnp.zeros((1, 224, 224, 3))
+        net, ep = r2.apply(p, x, "resnet_v2_50")
+        assert ep["block3"].shape == (1, 7, 7, 1024)
+        assert ep["postnorm"].shape == (1, 7, 7, 2048)
+        assert r2.pooled_features(net).shape == (1, 2048)
+        n = count_params(p)
+        assert 23e6 < n < 24.5e6, n
+        assert "resnet_v2_50" in available_encoders()
+        assert "resnet_v2_152" in available_encoders()
+
+    def test_preact_unit_structure(self):
+        from comic_tpu.models import resnet_v2 as r2
+        p = r2.init_params(jax.random.PRNGKey(0), "resnet_v2_50")
+        u = p["block1"]["unit_1"]["bottleneck_v2"]
+        assert "preact" in u and "biases" in u["conv3"]
+
+
+class TestMobilenetV2:
+    def test_shapes_and_registration(self):
+        from comic_tpu.models import mobilenet_v2 as m2
+        p = m2.init_params(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 224, 224, 3))
+        net, ep = m2.apply(p, x)
+        assert ep["expanded_conv_12"].shape == (1, 14, 14, 96)
+        assert ep["expanded_conv_16"].shape == (1, 7, 7, 320)
+        assert ep["Conv_1"].shape == (1, 7, 7, 1280)
+        assert m2.pooled_features(net).shape == (1, 1280)
+        n = count_params(p)
+        # MobileNet-V2 backbone ~2.2M
+        assert 2.0e6 < n < 2.5e6, n
+        assert "mobilenet_v2" in available_encoders()
