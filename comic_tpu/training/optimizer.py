@@ -48,17 +48,25 @@ def _normalize_scopes(scopes: Optional[str]) -> Sequence[str]:
     return out
 
 
+# BatchNorm moving statistics are buffers, never trainable variables — the
+# reference's BN runs in inference mode and its moving stats live outside
+# tf.trainable_variables (model_base.py:72-76), so even `cnn_finetune`
+# (freeze_scopes='') must not let the optimizer touch them.
+_ALWAYS_FROZEN = re.compile(r"moving_(mean|variance)")
+
+
 def trainable_mask(params: Params, freeze_scopes: Optional[str]) -> Params:
     """True where trainable. Frozen = any path whose string matches one of
     the freeze scopes by regex search (the reference uses re.search via
-    filter_variables, model_base.py:834-848)."""
+    filter_variables, model_base.py:834-848), plus BN moving statistics
+    unconditionally."""
     scopes = _normalize_scopes(freeze_scopes)
-    if not scopes:
-        return jax.tree_util.tree_map(lambda _: True, params)
     pats = [re.compile(sc) for sc in scopes]
 
     def leaf_mask(path, _):
         s = path_string(path)
+        if _ALWAYS_FROZEN.search(s):
+            return False
         return not any(p.search(s) for p in pats)
 
     return jax.tree_util.tree_map_with_path(leaf_mask, params)
@@ -119,7 +127,7 @@ def build_optimizer(
     """
     mask = trainable_mask(params, freeze_scopes)
     chain = []
-    if freeze_scopes:
+    if not all(jax.tree_util.tree_leaves(mask)):
         chain.append(_scale_subtree(0.0, jax.tree_util.tree_map(
             lambda m: not m, mask)))
     if cnn_grad_multiplier != 1.0:

@@ -181,3 +181,26 @@ class TestEndToEnd:
         assert os.path.exists(tmp_path / "exp" / "config.pkl")
         assert os.path.exists(tmp_path / "exp" / "model_size.txt")
         assert os.path.exists(tmp_path / "exp" / "events.jsonl")
+
+
+class TestBnMovingStatsFrozen:
+    def test_moving_stats_never_trainable(self):
+        params = {"encoder": {"cnn": {"conv": {
+            "weights": jnp.ones((1, 1, 1, 2)),
+            "BatchNorm": {"beta": jnp.zeros(2), "moving_mean": jnp.zeros(2),
+                          "moving_variance": jnp.ones(2)}}}}}
+        # even with nothing frozen (cnn_finetune), moving stats stay fixed
+        m = trainable_mask(params, "")
+        bn = m["encoder"]["cnn"]["conv"]["BatchNorm"]
+        assert bn["beta"] is True
+        assert bn["moving_mean"] is False and bn["moving_variance"] is False
+
+        opt, mask = build_optimizer(params, lambda s: 1.0, optimiser="sgd",
+                                    freeze_scopes="")
+        st = opt.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, st, params)
+        upd_bn = updates["encoder"]["cnn"]["conv"]["BatchNorm"]
+        assert float(jnp.abs(upd_bn["moving_mean"]).max()) == 0.0
+        assert float(jnp.abs(upd_bn["moving_variance"]).max()) == 0.0
+        assert float(jnp.abs(upd_bn["beta"]).max()) > 0.0
