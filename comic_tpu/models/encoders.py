@@ -72,6 +72,22 @@ register(EncoderSpec(
 ))
 
 
+def _register_inception_v4():
+    from . import inception_v4 as iv4
+
+    register(EncoderSpec(
+        name="inception_v4",
+        init=iv4.init_params,
+        apply=iv4.apply,
+        pooled=iv4.pooled_features,
+        default_image_size=iv4.DEFAULT_IMAGE_SIZE,
+        feature_dim=iv4.FEATURE_DIM,
+        default_fm_endpoint="Mixed_6h",
+        fm_channels={"Mixed_5e": 384, "Mixed_6h": 1024, "Mixed_7d": 1536},
+        preprocessing="inception",
+    ))
+
+
 def _register_resnets():
     from . import resnet
 
@@ -193,6 +209,7 @@ def _register_mobilenet_v2():
     ))
 
 
+_register_inception_v4()
 _register_resnets()
 _register_vggs()
 _register_mobilenet()

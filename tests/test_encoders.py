@@ -187,3 +187,29 @@ class TestMobilenetV2:
         # MobileNet-V2 backbone ~2.2M
         assert 2.0e6 < n < 2.5e6, n
         assert "mobilenet_v2" in available_encoders()
+
+
+class TestInceptionV4:
+    def test_shapes_299(self):
+        from comic_tpu.models import inception_v4 as iv4
+        p = iv4.init_params(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 299, 299, 3))
+        net, ep = iv4.apply(p, x)
+        assert ep["Mixed_3a"].shape == (1, 73, 73, 160)
+        assert ep["Mixed_4a"].shape == (1, 71, 71, 192)
+        assert ep["Mixed_5a"].shape == (1, 35, 35, 384)
+        assert ep["Mixed_5e"].shape == (1, 35, 35, 384)
+        assert ep["Mixed_6a"].shape == (1, 17, 17, 1024)
+        assert ep["Mixed_6h"].shape == (1, 17, 17, 1024)
+        assert ep["Mixed_7a"].shape == (1, 8, 8, 1536)
+        assert ep["Mixed_7d"].shape == (1, 8, 8, 1536)
+        assert iv4.pooled_features(net).shape == (1, 1536)
+
+    def test_param_count(self):
+        from comic_tpu.models import inception_v4 as iv4
+        n = count_params(iv4.init_params(jax.random.PRNGKey(0)))
+        # Inception-V4 base ~41M
+        assert 39e6 < n < 43e6, n
+
+    def test_registered(self):
+        assert "inception_v4" in available_encoders()
