@@ -66,7 +66,12 @@ def build_model_spec(config: Config, vocab: Vocabulary) -> ModelSpec:
     enc = get_encoder(config.cnn_name)
     fm_endpoint = config.cnn_fm_attention or enc.default_fm_endpoint
     if fm_endpoint not in enc.fm_channels:
-        raise ValueError(f"No channel info for endpoint {fm_endpoint}")
+        # e.g. the CLI default 'Mixed_4f' with a non-inception_v1 encoder:
+        # fall back to the encoder's own attention endpoint
+        print(f"WARNING: endpoint {fm_endpoint} unknown for "
+              f"{config.cnn_name}; using {enc.default_fm_endpoint}.")
+        fm_endpoint = enc.default_fm_endpoint
+        config.cnn_fm_attention = fm_endpoint
     attn = AttentionConfig(
         num_units=config.rnn_size,
         num_heads=config.attn_num_heads,
