@@ -1,19 +1,34 @@
 """Benchmark: captions/sec/chip for beam-3 inference on the flagship model.
 
 Measures the full serving path — uint8 image batch -> on-device
-preprocessing -> Inception-V1 -> radix-256 attention-LSTM beam search
-(beam 3, max length 30 words = 60 radix steps) — as ONE jitted program on
-the available accelerator, mirroring the reference's operating point
-(batch 25 beam 3, src/infer.py:61-72; throughput artifact
-`infer_speed.txt`, src/infer_fn.py:176-184).
+preprocessing -> Inception-V1 -> radix-256 attention-LSTM beam search —
+as ONE jitted program on the available accelerator, mirroring the
+reference's operating point (beam 3, src/infer.py:61-72; throughput
+artifact `infer_speed.txt`, src/infer_fn.py:176-184).
+
+Operating point is the REAL COMIC-256 workload: a 9,962-word vocabulary
+(MS-COCO v25 threshold-5 vocab, reference README.md "COMIC-256"), so
+RadixCodec(9962+specials, 256).word_len == 2 and a 30-word caption takes
+**60 radix decode steps** (model_base.py:708-714). An unreachable EOS id
+forces every beam to run all 60 steps — worst-case honest throughput.
+
+Also reports (secondary JSON fields):
+  - xe_step_ms:       fused XE train step (batch 32, reference default)
+  - scst_rollout_ms:  SCST device rollout (greedy + beam-7 sample), batch 10
+  - scst_train_ms:    SCST reward-weighted train step, batch 10
 
 Baseline: the reference publishes no captions/sec figure (BASELINE.md).
 TF1 benchmarks of comparable LSTM beam-3 decoders with an Inception
 encoder on the era's single GPU land at tens of captions/sec; we use
-50 captions/sec as the reference estimate for `vs_baseline` and record the
+50 captions/sec as the reference ESTIMATE for `vs_baseline` and record the
 absolute number as the real metric.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing methodology (CLAUDE.md): `block_until_ready` does not synchronize on
+the tunneled backend — dispatch N calls pipelined, force ONE host transfer,
+divide by N. Warm up two calls (sharded-input jits recompile once on the
+second call when input placement changes).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -22,31 +37,43 @@ import time
 
 import numpy as np
 
-REFERENCE_CAPTIONS_PER_SEC = 50.0
+REFERENCE_CAPTIONS_PER_SEC = 50.0  # estimate — reference publishes none
+COCO_VOCAB_WORDS = 9962            # MS-COCO v25 threshold-5 vocab size
 
 
-def main():
+def real_vocab():
+    """A vocabulary with the real COMIC-256 word count (9,962 words) so the
+    radix codec needs 2 digits/word -> 60 decode steps for 30 words."""
+    from comic_tpu.tokenization import Vocabulary
+
+    wtoi = {"<PAD>": -1}
+    for i in range(COCO_VOCAB_WORDS):
+        wtoi[f"w{i}"] = i
+    wtoi.update({"<UNK>": COCO_VOCAB_WORDS,
+                 "<GO>": COCO_VOCAB_WORDS + 1,
+                 "<EOS>": COCO_VOCAB_WORDS + 2})
+    return Vocabulary(wtoi)
+
+
+def _pipelined_ms(fn, args, iters, sync, warmup=2):
+    """Mean wall ms/call: pipelined dispatch, one trailing host sync."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    sync(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out)
+    return (time.time() - t0) * 1e3 / iters
+
+
+def bench_serving(config, spec, params, steps, beam):
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship
     from comic_tpu.data.preprocessing import preprocess_batch
     from comic_tpu.decoding import beam_search
-    from comic_tpu.models.captioner import max_decode_steps
-    from comic_tpu.tokenization import Vocabulary
-
-    config, spec, params = _flagship()
-    # Worst-case honest decode: with random weights beam search can emit EOS
-    # early; an unreachable end id forces all max_steps iterations so the
-    # number reflects full-length caption generation.
-    spec = spec._replace(decoder=spec.decoder._replace(end_id=-1))
-    beam = int(config.infer_beam_size)  # 3
-    # radix max steps: 30 words x 2 digits
-    wtoi = {"<PAD>": -1}
-    for i in range(50):
-        wtoi[f"w{i}"] = i
-    wtoi.update({"<UNK>": 50, "<GO>": 51, "<EOS>": 52})
-    steps = max_decode_steps(config, Vocabulary(wtoi))
 
     h, w = config.cnn_input_size
 
@@ -59,29 +86,161 @@ def main():
         return top.ids
 
     rng = np.random.default_rng(0)
-    best = 0.0
-    best_batch = 0
+    best, best_batch = 0.0, 0
     for batch in (64, 128, 256):
         images_u8 = jnp.asarray(
             rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
         jserve = jax.jit(serve)
         try:
-            out = np.asarray(jserve(params, images_u8))  # compile + sync
+            ms = _pipelined_ms(jserve, (params, images_u8), iters=50,
+                               sync=lambda o: np.asarray(o))
         except Exception as e:  # OOM at large batch etc.
-            print(f"batch {batch}: {type(e).__name__}", file=sys.stderr)
+            print(f"batch {batch}: {type(e).__name__}: {e}", file=sys.stderr)
             break
-        # Pipelined steady-state throughput: dispatch a stream of batches
-        # and synchronize once at the end — how a serving pipeline runs,
-        # and it amortizes per-call host/tunnel round-trip latency.
-        iters = 50
-        t0 = time.time()
-        outs = [jserve(params, images_u8) for _ in range(iters)]
-        out = np.asarray(outs[-1])
-        dt = time.time() - t0
-        cps = batch * iters / dt
-        print(f"batch {batch}: {cps:.1f} captions/s", file=sys.stderr)
+        cps = batch / (ms / 1e3)
+        print(f"batch {batch}: {cps:.1f} captions/s ({ms:.2f} ms/batch, "
+              f"{steps} decode steps)", file=sys.stderr)
         if cps > best:
             best, best_batch = cps, batch
+    return best, best_batch
+
+
+def bench_xe_step(config, spec, params, vocab):
+    """Fused XE train step at the reference train batch (32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from comic_tpu.models.captioner import max_decode_steps
+    from comic_tpu.training.optimizer import build_optimizer
+    from comic_tpu.training.schedule import cosine_schedule
+    from comic_tpu.training.xe import TrainState, make_train_step
+
+    batch = int(config.batch_size_train)  # 32
+    optimizer, mask = build_optimizer(
+        params, cosine_schedule(config.lr_start, config.lr_end, 1000),
+        adam_epsilon=config.adam_epsilon,
+        freeze_scopes=config.freeze_scopes)
+    # the train step donates its state — give it a private copy so the
+    # shared params survive for the other benches
+    params = jax.tree_util.tree_map(jnp.array, params)
+    state = TrainState(params, optimizer.init(params),
+                       jnp.asarray(0, jnp.int32))
+    train_step = make_train_step(spec, config, optimizer, mask,
+                                 tuple(config.cnn_input_size))
+
+    rng = np.random.default_rng(1)
+    images_u8 = jnp.asarray(
+        rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
+    # typical padded caption bucket: GO + 2*13 radix digits + EOS
+    width = 2 * 13 + 2
+    caps = np.full((batch, width), -1, np.int32)
+    caps[:, 0] = spec.decoder.start_id
+    caps[:, 1:27] = rng.integers(0, config.radix_base, (batch, 26))
+    caps[:, 27] = spec.decoder.end_id
+    caps = jnp.asarray(caps)
+    key = jax.random.PRNGKey(0)
+
+    # donated state: chain it through calls
+    holder = {"state": state}
+
+    def step(images_u8, caps, key):
+        holder["state"], metrics = train_step(holder["state"], images_u8,
+                                              caps, key)
+        return metrics["total_loss"]
+
+    ms = _pipelined_ms(step, (images_u8, caps, key), iters=20,
+                       sync=lambda o: np.asarray(o))
+    print(f"xe train step (batch {batch}): {ms:.2f} ms", file=sys.stderr)
+    return ms
+
+
+def bench_scst(config, spec, params, vocab):
+    """SCST device rollout + reward-weighted train step (batch 10)."""
+    import jax
+    import jax.numpy as jnp
+
+    from comic_tpu.training.optimizer import build_optimizer
+    from comic_tpu.training.schedule import cosine_schedule
+    from comic_tpu.training.scst import (
+        hypo_width,
+        make_rollout,
+        make_scst_train_step,
+        scst_decode_steps,
+    )
+    from comic_tpu.training.xe import TrainState
+
+    batch = 10  # reference SCST stage batch (train.py stage chaining)
+    config.batch_size_train = batch
+    optimizer, mask = build_optimizer(
+        params, cosine_schedule(config.lr_start, config.lr_end, 1000),
+        adam_epsilon=config.adam_epsilon,
+        freeze_scopes=config.freeze_scopes)
+    # donated state gets a private params copy (rollout keeps the original)
+    state_params = jax.tree_util.tree_map(jnp.array, params)
+    state = TrainState(state_params, optimizer.init(state_params),
+                       jnp.asarray(0, jnp.int32))
+    rollout = make_rollout(spec, config, vocab)
+    train_step = make_scst_train_step(spec, config, optimizer, mask)
+
+    rng = np.random.default_rng(2)
+    images_u8 = jnp.asarray(
+        rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(0)
+
+    roll_ms = _pipelined_ms(rollout, (params, images_u8, key), iters=20,
+                            sync=lambda o: np.asarray(o[0]))
+    print(f"scst rollout (batch {batch}, beam {config.scst_beam_size}): "
+          f"{roll_ms:.2f} ms", file=sys.stderr)
+
+    greedy_ids, beam_ids, im_embed, fmaps = rollout(params, images_u8, key)
+    beam = int(config.scst_beam_size)
+    width = hypo_width(config, vocab)
+    hypo = np.full((beam * batch, width), -1, np.int32)
+    hypo[:, 0] = spec.decoder.start_id
+    hypo[:, 1:width - 1] = rng.integers(0, config.radix_base,
+                                        (beam * batch, width - 2))
+    hypo[:, width - 1] = spec.decoder.end_id
+    hypo = jnp.asarray(hypo)
+    rewards = jnp.asarray(rng.normal(size=beam * batch).astype(np.float32))
+
+    holder = {"state": state}
+
+    def step(im_embed, fmaps, hypo, rewards, key):
+        holder["state"], metrics = train_step(holder["state"], im_embed,
+                                              fmaps, hypo, rewards, key)
+        return metrics["total_loss"]
+
+    train_ms = _pipelined_ms(step, (im_embed, fmaps, hypo, rewards, key),
+                             iters=20, sync=lambda o: np.asarray(o))
+    print(f"scst train step (batch {batch}x{beam}): {train_ms:.2f} ms",
+          file=sys.stderr)
+    return roll_ms, train_ms
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _flagship
+    from comic_tpu.models.captioner import build_model_spec, init_params, \
+        max_decode_steps
+
+    config, spec, params = _flagship()
+    vocab = real_vocab()
+    # rebuild the spec against the real vocab (start/end ids are radix-base
+    # relative, so only decode length changes)
+    spec = build_model_spec(config, vocab)
+    beam = int(config.infer_beam_size)  # 3
+    steps = max_decode_steps(config, vocab)
+    assert steps == 60, f"expected the real 60-step workload, got {steps}"
+
+    # Worst-case honest decode: with random weights beam search can emit EOS
+    # early; an unreachable end id forces all max_steps iterations so the
+    # number reflects full-length caption generation.
+    serve_spec = spec._replace(decoder=spec.decoder._replace(end_id=-1))
+    best, best_batch = bench_serving(config, serve_spec, params, steps, beam)
+
+    xe_ms = bench_xe_step(config, spec, params, vocab)
+    roll_ms, scst_ms = bench_scst(config, spec, params, vocab)
 
     # reference-artifact continuity: infer_speed.txt line
     with open("infer_speed.txt", "a") as f:
@@ -89,10 +248,16 @@ def main():
                 f"max_steps {steps})\n")
 
     print(json.dumps({
-        "metric": "captions_per_sec_per_chip_beam3",
+        "metric": "captions_per_sec_per_chip_beam3_60steps",
         "value": round(best, 2),
         "unit": "captions/s",
         "vs_baseline": round(best / REFERENCE_CAPTIONS_PER_SEC, 2),
+        "baseline_note": "estimate; reference publishes no captions/s",
+        "best_batch": best_batch,
+        "decode_steps": 60,
+        "xe_step_ms_b32": round(xe_ms, 2),
+        "scst_rollout_ms_b10": round(roll_ms, 2),
+        "scst_train_ms_b10": round(scst_ms, 2),
     }))
 
 

@@ -80,6 +80,9 @@ _DEFAULTS: Dict[str, Any] = dict(
     infer_length_penalty_weight=0.0,
     infer_max_length=30,
     infer_set="test",
+    # attention-map pickle size cap (images); -1 = full run like the
+    # reference (infer_fn.py:129-175)
+    infer_attention_max_images=4,
     # checkpointing / logging
     checkpoint_path=None,
     checkpoint_exclude_scopes="",
@@ -94,6 +97,9 @@ _DEFAULTS: Dict[str, Any] = dict(
     # TPU-specific (no reference equivalent)
     compute_dtype="bfloat16",  # dtype for matmul/conv compute on TPU
     num_data_shards=1,  # data-parallel mesh size (1 = single chip)
+    # host loader: reproduce TF1 resize_bilinear (align_corners=False)
+    # exactly instead of cv2 half-pixel centers (parity runs)
+    host_resize_tf1=False,
     # derived during pipeline/model construction (reference mutates its
     # config the same way — manager_image_caption.py:55,104-108,132,141)
     wtoi=None,

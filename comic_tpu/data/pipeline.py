@@ -72,23 +72,53 @@ def pad_rows(rows: Sequence[np.ndarray], width: int) -> np.ndarray:
     return out
 
 
-class _ImageLoaderPool:
-    """Thread pool turning filepaths into resized uint8 images."""
+def host_resize_mode(config: Config, is_training: bool) -> str:
+    """Host resize policy per encoder preprocessing family: inception-style
+    nets use a square 256 resize; vgg/resnet use the reference's
+    aspect-preserving resize (+ train-time scale jitter)
+    (preprocessing_factory.py:31-84, vgg_preprocessing.py:286-365)."""
+    from ..models.encoders import get_encoder
 
-    def __init__(self, num_workers: int = 8):
+    try:
+        kind = get_encoder(config.cnn_name).preprocessing
+    except ValueError:
+        kind = "inception"
+    if kind != "vgg":
+        return "square"
+    return "aspect_train" if is_training else "aspect_eval"
+
+
+class _ImageLoaderPool:
+    """Thread pool turning filepaths into fixed-shape uint8 images."""
+
+    def __init__(self, num_workers: int = 8, mode: str = "square",
+                 tf1_exact: bool = False, seed: Optional[int] = None):
         self.num_workers = num_workers
+        self.mode = mode
+        self.tf1_exact = tf1_exact
+        self._rng = np.random.default_rng(seed)
 
     def load(self, paths: Sequence[str]) -> np.ndarray:
         out = np.empty((len(paths), RESIZE_SIZE, RESIZE_SIZE, 3), np.uint8)
+        # per-image independent RNG streams (thread-safe scale jitter)
+        seeds = (self._rng.integers(0, 2**63, len(paths))
+                 if self.mode == "aspect_train" else None)
+
+        def load_one(i):
+            rng = (np.random.default_rng(int(seeds[i]))
+                   if seeds is not None else None)
+            out[i] = load_and_resize_host(
+                paths[i], mode=self.mode, tf1_exact=self.tf1_exact, rng=rng)
+
         if len(paths) == 1:
-            out[0] = load_and_resize_host(paths[0])
+            load_one(0)
             return out
         threads = []
         chunk = max(1, len(paths) // self.num_workers)
 
         def work(lo, hi):
             for i in range(lo, hi):
-                out[i] = load_and_resize_host(paths[i])
+                load_one(i)
 
         for lo in range(0, len(paths), chunk):
             t = threading.Thread(target=work, args=(lo, min(lo + chunk, len(paths))))
@@ -154,7 +184,10 @@ class TrainPipeline:
         self.bounds = bucket_boundaries(config, vocab)
         self.batch_size = (config.batch_size_train if self.is_training
                            else config.batch_size_eval)
-        self.loader = _ImageLoaderPool(num_workers)
+        self.loader = _ImageLoaderPool(
+            num_workers, mode=host_resize_mode(config, self.is_training),
+            tf1_exact=bool(config.get("host_resize_tf1")),
+            seed=config.rand_seed)
         self.rng = random.Random(
             seed if seed is not None else config.rand_seed)
 
@@ -198,12 +231,17 @@ class TrainPipeline:
                 yield buckets[b]
                 buckets[b] = []
         if not self.is_training:
-            # eval: flush leftovers as mixed batches, padded to max bound
+            # eval: flush per-bucket leftovers as mixed batches (each padded
+            # to the widest member's bound). Mixing buckets is numerically
+            # safe — padding is loss-masked — and needed for full coverage.
+            # The constructor enforces batch_size | split size, and every
+            # bucket batch above is full, so leftovers always tile exactly.
             rest = [i for b in buckets for i in b]
+            assert len(rest) % self.batch_size == 0, (
+                "eval leftovers must tile the batch size "
+                f"({len(rest)} % {self.batch_size})")
             for lo in range(0, len(rest), self.batch_size):
-                chunk = rest[lo: lo + self.batch_size]
-                if chunk:
-                    yield chunk
+                yield rest[lo: lo + self.batch_size]
 
     def _make_batch(self, idxs: List[int]) -> Tuple[np.ndarray, np.ndarray]:
         rows = [self._encoded[i] for i in idxs]
@@ -220,8 +258,29 @@ class TrainPipeline:
         return _prefetch(gen, prefetch_depth)
 
     def __iter__(self):
-        while True:
-            yield from self.epoch()
+        if not self.is_training:
+            def eval_gen():
+                while True:
+                    yield from self.epoch()
+
+            return eval_gen()
+        # Training: bucket state persists ACROSS epoch boundaries, like the
+        # reference's repeated tf.data + bucket_by_sequence_length
+        # (manager_image_caption.py:132-145). Resetting buckets per epoch
+        # starves forever when no single bucket fills a batch within one
+        # epoch (tiny datasets / large batches).
+
+        def gen():
+            buckets: List[List[int]] = [[] for _ in self.bounds]
+            while True:
+                for idx in self._epoch_order():
+                    b = pick_bucket(len(self._encoded[idx]), self.bounds)
+                    buckets[b].append(idx)
+                    if len(buckets[b]) == self.batch_size:
+                        yield self._make_batch(buckets[b])
+                        buckets[b] = []
+
+        return _prefetch(gen(), 4)
 
 
 class ScstPipeline:
@@ -241,7 +300,10 @@ class ScstPipeline:
             records = cap_io.group_by_image(raw)
         self.records = records
         self.batch_size = config.batch_size_train
-        self.loader = _ImageLoaderPool(num_workers)
+        self.loader = _ImageLoaderPool(
+            num_workers, mode=host_resize_mode(config, True),
+            tf1_exact=bool(config.get("host_resize_tf1")),
+            seed=config.rand_seed)
         self.rng = random.Random(
             seed if seed is not None else config.rand_seed)
         if config.split_sizes is None:
@@ -287,7 +349,9 @@ class InferencePipeline:
             raise ValueError(
                 f"Infer batch size {self.batch_size} must divide file "
                 f"count {len(files)}")
-        self.loader = _ImageLoaderPool(num_workers)
+        self.loader = _ImageLoaderPool(
+            num_workers, mode=host_resize_mode(config, False),
+            tf1_exact=bool(config.get("host_resize_tf1")))
 
     def __iter__(self):
         def gen():

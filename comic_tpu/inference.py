@@ -54,13 +54,19 @@ def infer_dir_name(config: Config) -> str:
             f"_lpen_{lpen}")
 
 
-def make_serve_fn(spec, config: Config, steps: int):
+def make_serve_fn(spec, config: Config, steps: int, mesh=None):
+    """Build the jitted serving fn: (params, images_u8) -> (ids, alignments).
+
+    With a mesh, the image batch is declared batch-sharded and params
+    replicated via `in_shardings`, so jit performs the sharded async
+    host->device transfer itself (never `device_put` in the serving loop —
+    see CLAUDE.md) and the decode runs data-parallel over all devices.
+    """
     h, w = config.cnn_input_size
     beam = int(config.infer_beam_size)
     lpen = float(config.infer_length_penalty_weight or 0.0)
     preprocess = preprocess_for(config.cnn_name)
 
-    @jax.jit
     def serve(params, images_u8):
         images = preprocess(images_u8, jax.random.PRNGKey(0), h, w,
                             False)
@@ -71,7 +77,12 @@ def make_serve_fn(spec, config: Config, steps: int):
             top = greedy_or_sample(params, spec, images, max_steps=steps)
         return top.ids, top.alignments
 
-    return serve
+    if mesh is not None:
+        from .parallel.mesh import batch_sharding, replicated
+
+        return jax.jit(serve, in_shardings=(replicated(mesh),
+                                            batch_sharding(mesh)))
+    return jax.jit(serve)
 
 
 def run_inference(config: Config, ckpt_path: str,
@@ -93,7 +104,12 @@ def run_inference(config: Config, ckpt_path: str,
 
     pipe = pipe or InferencePipeline(config)
     steps = max_decode_steps(config, vocab)
-    serve = serve or make_serve_fn(spec, config, steps)
+    if serve is None:
+        from .parallel.mesh import make_mesh_for_batch
+
+        serve = make_serve_fn(spec, config, steps,
+                              mesh=make_mesh_for_batch(
+                                  config.batch_size_infer))
 
     ckpt_name = os.path.basename(ckpt_path).replace(".msgpack", "")
     save_dir = pjoin(config.log_path, infer_dir_name(config))
@@ -111,8 +127,17 @@ def run_inference(config: Config, ckpt_path: str,
         for f, c in zip(files, caps):
             all_ids.append(image_id_from_path(f))
             all_caps.append(c)
-        if save_attention and len(attn_store) < 4:
-            attn_store[files[0]] = np.asarray(attn[0])
+        if save_attention:
+            # the reference pickles the whole run's maps (infer_fn.py:129-175);
+            # default here caps the artifact at 4 images — set
+            # config.infer_attention_max_images=-1 for full reference output
+            limit = int(config.get("infer_attention_max_images") or 4)
+            if limit < 0 or len(attn_store) < limit:
+                maps = np.asarray(attn)
+                for j, f in enumerate(files):
+                    if limit >= 0 and len(attn_store) >= limit:
+                        break
+                    attn_store[f] = maps[j]
         n_done += images.shape[0]
     dt = time.time() - t0
 
@@ -165,9 +190,12 @@ def sweep_checkpoints(config: Config,
     if not names:
         raise FileNotFoundError(
             f"No compact checkpoints under {config.log_path}")
+    from .parallel.mesh import make_mesh_for_batch
+
     vocab = Vocabulary.from_str_itow(config.wtoi, config.itow)
     spec = build_model_spec(config, vocab)
-    serve = make_serve_fn(spec, config, max_decode_steps(config, vocab))
+    serve = make_serve_fn(spec, config, max_decode_steps(config, vocab),
+                          mesh=make_mesh_for_batch(config.batch_size_infer))
     pipe = InferencePipeline(config)
     results = {}
     for name in names:

@@ -77,11 +77,17 @@ def hypo_width(config: Config, vocab: Vocabulary) -> int:
     return scst_decode_steps(config, vocab) + 2
 
 
-def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary):
+def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary,
+                 mesh=None):
     """(params, images_u8, key) -> (greedy_ids, beam_ids, im_embed, fmaps).
 
     beam_ids come back in the reference's beam-major (beam, batch, time)
     layout so host-side scoring sees [im0_b0..imN_b0, im0_b1, ...].
+
+    With a mesh, the image batch is batch-sharded over the data axis and
+    params replicated (declared via `in_shardings`, never device_put —
+    CLAUDE.md); the decoded ids are gathered to the host for scoring, the
+    encoder outputs stay device-resident for the train step.
     """
     h, w = config.cnn_input_size
     beam = int(config.scst_beam_size)
@@ -89,7 +95,6 @@ def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary):
     augment = bool(config.cnn_input_augment)
     preprocess = preprocess_for(config.cnn_name)
 
-    @jax.jit
     def rollout(params, images_u8, key):
         images = preprocess(images_u8, key, h, w, augment)
         im_embed, fmaps = encode_images(
@@ -106,14 +111,28 @@ def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary):
             max_steps=steps, length_penalty=0.0, collect_alignments=False)
         return greedy.ids, all_beams["ids"], im_embed, fmaps
 
-    return rollout
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        return jax.jit(rollout, in_shardings=(replicated(mesh),
+                                              batch_sharding(mesh), None))
+    return jax.jit(rollout)
 
 
-def make_scst_train_step(spec: ModelSpec, config: Config, optimizer, mask):
+def make_scst_train_step(spec: ModelSpec, config: Config, optimizer, mask,
+                         mesh=None):
     """(state, im_embed, fmaps, hypo_ids, rewards, rng) -> (state, metrics).
 
     im_embed/fmaps are per-image; they are beam-tiled ON DEVICE to match the
     (beam * batch) hypothesis rows.
+
+    With a mesh, the per-image encoder outputs (already device-resident,
+    batch-sharded by the rollout) and the host-scored hypothesis ids/rewards
+    are all sharded on their leading axis; XLA inserts the gradient
+    all-reduce. NOTE: beam-major tiling turns a batch-sharded [batch, ...]
+    into [beam*batch, ...] whose blocks each need the full image batch, so
+    the tile incurs an all-gather of the (small) encoder outputs — the
+    heavy gradient math still runs fully sharded.
     """
     beam = int(config.scst_beam_size)
     map_scale = float(config.rnn_map_loss_scale)
@@ -135,7 +154,6 @@ def make_scst_train_step(spec: ModelSpec, config: Config, optimizer, mask):
         total = xe + map_loss + reg
         return total, {"scst_loss": xe, "map_loss": map_loss, "reg": reg}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, im_embed, fmaps, hypo_ids, rewards,
                    rng):
         (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -147,7 +165,13 @@ def make_scst_train_step(spec: ModelSpec, config: Config, optimizer, mask):
         return (TrainState(params, opt_state, state.step + 1),
                 dict(parts, total_loss=total))
 
-    return train_step
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        bsh = batch_sharding(mesh)
+        return jax.jit(train_step, donate_argnums=(0,),
+                       in_shardings=(None, bsh, bsh, bsh, bsh, None))
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def score_and_encode(
@@ -218,11 +242,18 @@ def train_fn_scst(config: Config, *,
 
     os.makedirs(config.log_path, exist_ok=True)
     config.save(config.log_path)
+
+    from ..parallel.mesh import make_mesh_for_batch, replicate
+
+    mesh = make_mesh_for_batch(config.batch_size_train)
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
     state = TrainState(params, opt_state,
                        jnp.asarray(start_step, jnp.int32))
 
-    rollout = make_rollout(spec, config, vocab)
-    train_step = make_scst_train_step(spec, config, optimizer, mask)
+    rollout = make_rollout(spec, config, vocab, mesh=mesh)
+    train_step = make_scst_train_step(spec, config, optimizer, mask,
+                                      mesh=mesh)
     width = hypo_width(config, vocab)
     writer = SummaryWriter(config.log_path)
     save_every = max(pipe.config.split_sizes["train"]
@@ -237,7 +268,8 @@ def train_fn_scst(config: Config, *,
     while step < max_step:
         images, refs = next(data_iter)
         rng, k_roll, k_train = jax.random.split(rng, 3)
-        out = rollout(state.params, jnp.asarray(images), k_roll)
+        # raw numpy in: jit shards + transfers per its in_shardings
+        out = rollout(state.params, images, k_roll)
         if pending is not None:
             state, metrics, step = _finish_step(
                 pending, state, train_step, scorer, config, vocab, width,
@@ -278,9 +310,8 @@ def _finish_step(pending, state, train_step, scorer, config, vocab, width,
     hypo_ids, rewards, score_metrics = score_and_encode(
         scorer, config, vocab, refs, np.asarray(greedy_ids),
         np.asarray(beam_ids), width)
-    state, metrics = train_step(state, im_embed, fmaps,
-                                jnp.asarray(hypo_ids),
-                                jnp.asarray(rewards), k_train)
+    state, metrics = train_step(state, im_embed, fmaps, hypo_ids,
+                                rewards, k_train)
     metrics = {k: float(v) for k, v in metrics.items()}
     metrics.update(score_metrics)
     return state, metrics, step + 1

@@ -75,6 +75,20 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
         total = log_ppl + map_loss + reg
         return total, {"log_ppl": log_ppl, "map_loss": map_loss, "reg": reg}
 
+    add_vars = bool(config.add_vars_summaries)
+    add_grads = bool(config.add_grad_summaries)
+
+    def _scope_norms(tree, prefix):
+        # per-top-scope global norms, the lean equivalent of the reference's
+        # per-variable histograms (train_fn.py:95-106)
+        return {f"{prefix}_norm/{k}": optax_global_norm(v)
+                for k, v in tree.items()}
+
+    def optax_global_norm(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                            for x in leaves))
+
     def train_step(state: TrainState, images_u8, captions, rng):
         (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, images_u8, captions, rng)
@@ -88,6 +102,10 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
         temp = params["decoder"]["attention"].get("softmax_temperature")
         if temp is not None:
             metrics["softmax_temperature"] = temp
+        if add_vars:
+            metrics.update(_scope_norms(params, "vars"))
+        if add_grads:
+            metrics.update(_scope_norms(grads, "grads"))
         return TrainState(params, opt_state, state.step + 1), metrics
 
     if mesh is not None:
@@ -100,11 +118,18 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
 
 
 def make_eval_step(spec: ModelSpec, config: Config,
-                   image_size: Tuple[int, int]):
+                   image_size: Tuple[int, int], mesh=None):
+    """Eval-ppl step on the TRAIN mesh (params live there).
+
+    The reference eval batch (61) is prime, so it can't shard over a
+    multi-device mesh; rather than collapsing the whole run to 1 device
+    (round-1 behavior), the eval batch is replicated across the train mesh
+    when it doesn't divide — eval is rare (once per checkpoint) and small,
+    training throughput is what matters.
+    """
     h, w = image_size
     preprocess = preprocess_for(config.cnn_name)
 
-    @jax.jit
     def eval_step(params, images_u8, captions):
         images = preprocess(images_u8, jax.random.PRNGKey(0), h, w,
                             False)
@@ -112,15 +137,23 @@ def make_eval_step(spec: ModelSpec, config: Config,
                                 training=False)
         return log_ppl
 
-    return eval_step
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        bsh = (batch_sharding(mesh)
+               if int(config.batch_size_eval) % mesh.devices.size == 0
+               else replicated(mesh))
+        return jax.jit(eval_step,
+                       in_shardings=(replicated(mesh), bsh, bsh))
+    return jax.jit(eval_step)
 
 
 def evaluate_perplexity(eval_step, params, pipeline) -> float:
     """Mean eval log-perplexity over one pass (train_fn.py:320-338)."""
     losses = []
     for images, caps in pipeline.epoch():
-        losses.append(float(eval_step(params, jnp.asarray(images),
-                                      jnp.asarray(caps))))
+        # raw numpy in: jit shards + transfers per its in_shardings
+        losses.append(float(eval_step(params, images, caps)))
     return float(np.exp(np.mean(losses))) if losses else float("nan")
 
 
@@ -188,8 +221,10 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
     print(f"INFO: decoder params {n_dec:,d} / total {n_all:,d}")
 
     if mesh is None:
-        mesh = make_mesh_for_batch(config.batch_size_train,
-                                   config.batch_size_eval)
+        # train mesh sized by the TRAIN batch only — the reference eval
+        # batch (61, prime) must not collapse the train mesh to 1 device;
+        # the eval step shards on its own mesh.
+        mesh = make_mesh_for_batch(config.batch_size_train)
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
     state = TrainState(params, opt_state,
@@ -197,7 +232,8 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
 
     train_step = make_train_step(spec, config, optimizer, mask,
                                  tuple(config.cnn_input_size), mesh=mesh)
-    eval_step = make_eval_step(spec, config, tuple(config.cnn_input_size))
+    eval_step = make_eval_step(spec, config, tuple(config.cnn_input_size),
+                               mesh=mesh)
 
     writer = SummaryWriter(config.log_path)
     log_every = max(steps_per_epoch // max(config.num_logs_per_epoch, 1), 1)
@@ -210,8 +246,21 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
     t_last, n_since = time.time(), 0
     data_iter = iter(train_pipe)
     metrics = {}
+    logged_image = not bool(config.add_image_summaries)
     while step < max_step:
         images, caps = next(data_iter)
+        if not logged_image:
+            # one preprocessed sample per run, like the reference's
+            # tf.summary.image of the input batch (train_fn.py:75)
+            h_, w_ = config.cnn_input_size
+            prev = preprocess_for(config.cnn_name)(
+                jnp.asarray(images[:1]), jax.random.PRNGKey(0), h_, w_,
+                False)
+            arr = np.asarray(prev[0], np.float32)
+            lo, hi = float(arr.min()), float(arr.max())
+            arr = (arr - lo) / max(hi - lo, 1e-6) * 255.0
+            writer.image(step, "input_image", arr.astype(np.uint8))
+            logged_image = True
         rng, sub = jax.random.split(rng)
         # raw numpy in: jit shards + transfers asynchronously per
         # in_shardings (see make_train_step)

@@ -17,6 +17,7 @@ from typing import Dict, Optional
 class SummaryWriter:
     def __init__(self, log_dir: str, use_tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
+        self._dir = log_dir
         self._jsonl = open(os.path.join(log_dir, "events.jsonl"), "a")
         self._tb = None
         if use_tensorboard:
@@ -38,6 +39,27 @@ class SummaryWriter:
 
                 for k, v in values.items():
                     tf.summary.scalar(k, float(v), step=int(step))
+                self._tb.flush()
+
+    def image(self, step: int, name: str, array_u8) -> None:
+        """Log an HWC uint8 RGB image: PNG next to events.jsonl, plus a
+        TensorBoard image when TF is present (reference's
+        add_image_summaries, train_fn.py:75)."""
+        import numpy as np
+
+        arr = np.asarray(array_u8)
+        path = os.path.join(self._dir, f"{name}___{int(step)}.png")
+        try:
+            import cv2
+
+            cv2.imwrite(path, arr[..., ::-1])  # RGB -> BGR
+        except Exception:
+            pass
+        if self._tb is not None:
+            with self._tb.as_default():
+                import tensorflow as tf
+
+                tf.summary.image(name, arr[None], step=int(step))
                 self._tb.flush()
 
     def close(self) -> None:

@@ -170,6 +170,18 @@ class TestPipelines:
         next(it)  # consumes through epochs without error
         assert len(e1) > 0
 
+    def test_train_buckets_persist_across_epochs(self, synth):
+        """Batch sizes larger than any single epoch's per-bucket count must
+        still yield batches: bucket state carries across epoch boundaries
+        like the reference's repeated tf.data bucketing (regression for an
+        infinite-spin starvation with batch 8 over mixed-length captions)."""
+        root, vocab = synth
+        c = self._config(root, batch_size_train=23)  # > any bucket/epoch
+        pipe = TrainPipeline(c, vocab, "train", seed=0)
+        it = iter(pipe)
+        images, caps = next(it)  # must not spin forever
+        assert images.shape[0] == 23 and caps.shape[0] == 23
+
     def test_eval_divisibility_enforced(self, synth):
         root, vocab = synth
         c = self._config(root, batch_size_eval=3)

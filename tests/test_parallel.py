@@ -56,6 +56,102 @@ def test_dp_gradients_match_single_device():
     np.testing.assert_allclose(g_single, g_dp, rtol=1e-5, atol=1e-6)
 
 
+def _tiny_setup():
+    from comic_tpu.configuration import Config
+    from comic_tpu.models.captioner import build_model_spec, init_params
+    from comic_tpu.tokenization import Vocabulary
+
+    wtoi = {"<PAD>": -1, "w": 0, "<UNK>": 1, "<GO>": 2, "<EOS>": 3}
+    vocab = Vocabulary(wtoi)
+    c = Config(token_type="radix", radix_base=8, rnn_size=16,
+               rnn_word_size=8, attn_num_heads=2, compute_dtype="float32",
+               cnn_input_size=(64, 64), dropout_rnn_in=0.0,
+               dropout_rnn_out=0.0, attn_keep_prob=1.0, freeze_scopes="",
+               cnn_input_augment=False, infer_beam_size=3,
+               infer_max_length=4, scst_beam_size=2)
+    spec = build_model_spec(c, vocab)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    return c, vocab, spec, params
+
+
+@pytest.mark.slow
+def test_serve_fn_dp_equivalence():
+    """Batch-sharded beam-search serving produces identical ids to the
+    single-device jit."""
+    from comic_tpu.inference import make_serve_fn
+    from comic_tpu.models.captioner import max_decode_steps
+
+    c, vocab, spec, params = _tiny_setup()
+    steps = max_decode_steps(c, vocab)
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (8, 256, 256, 3), dtype=np.uint8)
+
+    results = []
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_dev)
+        serve = make_serve_fn(spec, c, steps, mesh=mesh)
+        ids, _ = serve(replicate(mesh, params), images)
+        results.append(np.asarray(ids))
+    np.testing.assert_array_equal(results[0], results[1])
+
+
+@pytest.mark.slow
+def test_scst_step_dp_equivalence():
+    """Sharded SCST rollout ids and train-step updates match single-device
+    execution."""
+    from comic_tpu.training.optimizer import build_optimizer
+    from comic_tpu.training.schedule import cosine_schedule
+    from comic_tpu.training.scst import (
+        hypo_width,
+        make_rollout,
+        make_scst_train_step,
+    )
+    from comic_tpu.training.xe import TrainState
+
+    c, vocab, spec, params = _tiny_setup()
+    rng = np.random.default_rng(2)
+    batch = 8
+    images = rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
+    width = hypo_width(c, vocab)
+    beam = int(c.scst_beam_size)
+    hypo = np.full((beam * batch, width), -1, np.int32)
+    hypo[:, 0] = spec.decoder.start_id
+    hypo[:, 1:4] = rng.integers(0, 8, (beam * batch, 3))
+    hypo[:, 4] = spec.decoder.end_id
+    rewards = rng.normal(size=beam * batch).astype(np.float32)
+
+    results = []
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_dev)
+        optimizer, mask = build_optimizer(
+            params, cosine_schedule(1e-3, 1e-4, 10), freeze_scopes="")
+        # private copy: the donated train-step state must not alias the
+        # shared params (replicate on 1 device is an aliasing no-op)
+        p = jax.tree_util.tree_map(lambda x: np.array(x), params)
+        state = TrainState(replicate(mesh, p),
+                           replicate(mesh, optimizer.init(p)),
+                           jnp.asarray(0, jnp.int32))
+        rollout = make_rollout(spec, c, vocab, mesh=mesh)
+        greedy_ids, beam_ids, im_embed, fmaps = rollout(
+            state.params, images, jax.random.PRNGKey(3))
+        train_step = make_scst_train_step(spec, c, optimizer, mask,
+                                          mesh=mesh)
+        state, metrics = train_step(state, im_embed, fmaps, hypo, rewards,
+                                    jax.random.PRNGKey(4))
+        results.append((
+            np.asarray(greedy_ids),
+            np.asarray(beam_ids),
+            float(metrics["total_loss"]),
+            np.asarray(state.params["decoder"]["embedding"]),
+        ))
+
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    np.testing.assert_array_equal(results[0][1], results[1][1])
+    np.testing.assert_allclose(results[0][2], results[1][2], rtol=1e-5)
+    np.testing.assert_allclose(results[0][3], results[1][3],
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_train_step_dp_equivalence():
     """The full fused XE train step computes identical parameter updates on
