@@ -31,9 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 RESIZE_SIZE = 256
-# ImageNet BGR means used by the reference's vgg_preprocessing for
-# ResNet/VGG encoders (vgg_preprocessing.py:286-365).
-VGG_MEANS_RGB = (123.68, 116.779, 103.939)
+# ImageNet RGB means used by the reference's vgg_preprocessing for
+# ResNet/VGG encoders (vgg_preprocessing.py:39-41).
+VGG_MEANS_RGB = (123.68, 116.78, 103.94)
+# train-time scale-jitter bounds for the smallest side
+# (vgg_preprocessing.py:43-44)
+VGG_RESIZE_SIDE_MIN = 256
+VGG_RESIZE_SIDE_MAX = 512
 
 
 # --------------------------------------------------------------------------
@@ -150,11 +154,8 @@ def preprocess_for(cnn_name: str):
 # Host-side decode/resize
 # --------------------------------------------------------------------------
 
-def load_and_resize_host(path: str, size: int = RESIZE_SIZE) -> np.ndarray:
-    """Decode an image file and bilinear-resize to (size, size, 3) uint8 RGB.
-
-    cv2 when available (C++ decode + SIMD resize), PIL fallback.
-    """
+def decode_image_host(path: str) -> np.ndarray:
+    """Decode an image file to (H, W, 3) uint8 RGB (cv2, PIL fallback)."""
     try:
         import cv2
 
@@ -162,11 +163,116 @@ def load_and_resize_host(path: str, size: int = RESIZE_SIZE) -> np.ndarray:
         img = cv2.imdecode(data, cv2.IMREAD_COLOR)  # BGR
         if img is None:
             raise ValueError(f"Could not decode image: {path}")
-        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
         return img[:, :, ::-1].copy()  # BGR -> RGB
     except ImportError:
         from PIL import Image
 
         with Image.open(path) as im:
-            im = im.convert("RGB").resize((size, size), Image.BILINEAR)
-            return np.asarray(im, np.uint8)
+            return np.asarray(im.convert("RGB"), np.uint8)
+
+
+def resize_bilinear_tf1_np(img: np.ndarray, out_h: int, out_w: int
+                           ) -> np.ndarray:
+    """Numpy port of TF1 ``tf.image.resize_bilinear`` (align_corners=False):
+    src = dst * (in / out), asymmetric mapping, edge-clamped. The device-side
+    twin `resize_bilinear_tf1` is golden-tested against TF
+    (tests/test_data.py); this host version shares its coordinate math so
+    the loader can reproduce the reference input pipeline exactly
+    (inception_preprocessing_radix.py:240-278, vgg_preprocessing.py:280).
+    """
+    in_h, in_w = img.shape[:2]
+
+    def axis(out_n, in_n):
+        src = np.arange(out_n, dtype=np.float64) * (in_n / out_n)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, in_n - 1)
+        return lo, hi, (src - lo).astype(np.float32)
+
+    ylo, yhi, yf = axis(out_h, in_h)
+    xlo, xhi, xf = axis(out_w, in_w)
+    im = img.astype(np.float32)
+    top = im[ylo][:, xlo] * (1 - xf)[None, :, None] \
+        + im[ylo][:, xhi] * xf[None, :, None]
+    bot = im[yhi][:, xlo] * (1 - xf)[None, :, None] \
+        + im[yhi][:, xhi] * xf[None, :, None]
+    out = top * (1 - yf)[:, None, None] + bot * yf[:, None, None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _resize_host(img: np.ndarray, out_h: int, out_w: int,
+                 tf1_exact: bool = False) -> np.ndarray:
+    if tf1_exact:
+        return resize_bilinear_tf1_np(img, out_h, out_w)
+    try:
+        import cv2
+
+        # cv2 wants BGR-agnostic (w, h); half-pixel centers (<1 LSB drift
+        # from TF1 on natural images), SIMD-fast
+        return cv2.resize(img, (out_w, out_h),
+                          interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(
+            Image.fromarray(img).resize((out_w, out_h), Image.BILINEAR),
+            np.uint8)
+
+
+def _aspect_resize_host(img: np.ndarray, smallest_side: int,
+                        tf1_exact: bool = False) -> np.ndarray:
+    """Aspect-preserving resize: smallest side -> `smallest_side`
+    (vgg_preprocessing.py:233-283, _smallest_size_at_least truncation)."""
+    h, w = img.shape[:2]
+    scale = smallest_side / (w if h > w else h)
+    new_h, new_w = int(h * scale), int(w * scale)
+    return _resize_host(img, new_h, new_w, tf1_exact)
+
+
+def _center_crop_host(img: np.ndarray, size: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    off_h, off_w = max((h - size) // 2, 0), max((w - size) // 2, 0)
+    out = img[off_h: off_h + size, off_w: off_w + size]
+    if out.shape[0] < size or out.shape[1] < size:  # pad (tiny sources)
+        pad_h, pad_w = size - out.shape[0], size - out.shape[1]
+        out = np.pad(out, ((pad_h // 2, pad_h - pad_h // 2),
+                           (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+    return out
+
+
+def load_and_resize_host(path: str, size: int = RESIZE_SIZE,
+                         mode: str = "square", tf1_exact: bool = False,
+                         rng: Optional[np.random.Generator] = None
+                         ) -> np.ndarray:
+    """Decode + resize to a FIXED (size, size, 3) uint8 RGB for the device.
+
+    Modes (static output shape keeps one compiled device graph):
+      - 'square' (inception-style): plain bilinear resize to size x size
+        (inception_preprocessing_radix.py:240-278).
+      - 'aspect_eval' (vgg/resnet eval): aspect-preserving smallest-side ->
+        size, central crop. Composed with the device's central 224-crop this
+        equals the reference's resize-256 + central-crop-224 exactly
+        (central crop of a central crop).
+      - 'aspect_train' (vgg/resnet train): smallest side jittered in
+        [256, 512] (vgg_preprocessing.py:308-311), aspect resize, RANDOM
+        size x size crop. DIVERGENCE: the reference random-crops 224
+        directly from the jittered image; the composite host-256-crop +
+        device-224-crop covers the same support with a slightly different
+        (non-uniform) offset distribution.
+    """
+    img = decode_image_host(path)
+    if mode == "square":
+        return _resize_host(img, size, size, tf1_exact)
+    if mode == "aspect_eval":
+        return _center_crop_host(
+            _aspect_resize_host(img, size, tf1_exact), size)
+    if mode == "aspect_train":
+        rng = rng or np.random.default_rng()
+        side = int(rng.integers(VGG_RESIZE_SIDE_MIN,
+                                VGG_RESIZE_SIDE_MAX + 1))
+        side = max(side, size)
+        img = _aspect_resize_host(img, side, tf1_exact)
+        h, w = img.shape[:2]
+        off_h = int(rng.integers(0, h - size + 1))
+        off_w = int(rng.integers(0, w - size + 1))
+        return img[off_h: off_h + size, off_w: off_w + size]
+    raise ValueError(f"Unknown host resize mode: {mode}")
