@@ -60,10 +60,20 @@ class AttentionConfig(NamedTuple):
 
 
 class AttentionMemory(NamedTuple):
-    """Per-image precomputed tensors (loop-invariant during decode)."""
+    """Per-image precomputed tensors (loop-invariant during decode).
+
+    For the add_LN alignment, `key_mean`/`key_m2` carry the per-position
+    first/second moments of the keys over channels (float32), letting the
+    decode step compute LayerNorm statistics of (keys + query) in closed
+    form instead of two brute-force reduction passes over (B, K, L, U):
+      mean(k+q)   = mean(k) + mean(q)
+      E[(k+q)^2]  = E[k^2] + 2 E[k*q] + E[q^2],  E[k*q] = one MXU matmul.
+    """
 
     keys: jnp.ndarray  # (B, L, U)
     values: jnp.ndarray  # (B, H, L, D) split into heads
+    key_mean: Optional[jnp.ndarray] = None  # (B, L) f32
+    key_m2: Optional[jnp.ndarray] = None  # (B, L) f32 mean of k^2
 
 
 def attention_init(key, cfg: AttentionConfig, init=xavier_uniform) -> Params:
@@ -103,9 +113,18 @@ def precompute(p: Params, cfg: AttentionConfig, feature_map: jnp.ndarray,
     With a compute dtype set, keys/values are STORED in that dtype: the
     decode loop re-reads them from HBM every step, so halving their width
     (bfloat16) halves the dominant memory traffic of the decode phase.
+
+    For add_LN the per-position key moments are also precomputed (from the
+    stored keys, so the decode-step math sees the same rounded values) —
+    see AttentionMemory.
     """
     store = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
     keys = store(dense_apply(p["memory_layer"], feature_map, dtype=dtype))
+    key_mean = key_m2 = None
+    if cfg.alignment == "add_LN":
+        k32 = keys.astype(jnp.float32)
+        key_mean = jnp.mean(k32, axis=-1)
+        key_m2 = jnp.mean(jnp.square(k32), axis=-1)
     if cfg.fm_projection == "tied":
         values = split_heads(keys, cfg.num_heads)
     elif cfg.fm_projection == "independent":
@@ -119,7 +138,59 @@ def precompute(p: Params, cfg: AttentionConfig, feature_map: jnp.ndarray,
         values = split_heads(store(feature_map), cfg.num_heads)
     else:
         raise ValueError(f"Invalid fm_projection: {cfg.fm_projection}")
-    return AttentionMemory(keys=keys, values=values)
+    return AttentionMemory(keys=keys, values=values,
+                           key_mean=key_mean, key_m2=key_m2)
+
+
+LN_EPS = 1e-12  # contrib layer_norm default (layers.layer_norm_apply)
+
+
+def _add_ln_scores_fast(p: Params, cfg: AttentionConfig, memory:
+                        AttentionMemory, proj_q: jnp.ndarray) -> jnp.ndarray:
+    """add_LN head scores (B, K, H, L) via precomputed key moments.
+
+    Computes LayerNorm(keys + q) statistics in closed form:
+      mean(k+q) = mean_c(k) + mean_c(q)
+      E[(k+q)^2] = E[k^2] + 2 E[k q] + E[q^2]
+    where E[k q] over channels is ONE batched MXU matmul (keys @ q^T) and
+    the key moments come precomputed from `precompute`. This removes the
+    two brute-force reduction passes over the (B, K, L, U) sum that the
+    direct LayerNorm needs, leaving a single elementwise pass (the tanh)
+    that reads the keys exactly once — the decode loop's dominant VPU and
+    HBM cost (CLAUDE.md perf notes). Numerically equal to
+    layer_norm_apply up to f32 rounding (moments and normalization both
+    accumulate in f32).
+
+    proj_q: (B, K, U) query projections (K = queries per image; 1 for the
+    flat path).
+    """
+    keys = memory.keys  # (B, L, U)
+    u = keys.shape[-1]
+    q32 = proj_q.astype(jnp.float32)
+    mu_q = jnp.mean(q32, axis=-1)  # (B, K)
+    m2_q = jnp.mean(jnp.square(q32), axis=-1)  # (B, K)
+    cross = jnp.einsum("blu,bku->bkl", keys, proj_q.astype(keys.dtype),
+                       preferred_element_type=jnp.float32)  # (B, K, L)
+    mu = memory.key_mean[:, None, :] + mu_q[:, :, None]  # (B, K, L)
+    ex2 = memory.key_m2[:, None, :] + 2.0 * cross / u + m2_q[:, :, None]
+    var = jnp.maximum(ex2 - jnp.square(mu), 0.0)
+    inv = jax.lax.rsqrt(var + LN_EPS)  # (B, K, L)
+
+    x = (keys[:, None].astype(jnp.float32)
+         + q32[:, :, None, :])  # (B, K, L, U)
+    g = p["ln"]["scale"]
+    beta = p["ln"]["bias"]
+    # fold v into the LN affine: v * (g*(x-mu)*inv + beta) pre-tanh is NOT
+    # valid (tanh between); apply v after tanh, then head-sum.
+    y = jnp.tanh((x - mu[..., None]) * inv[..., None] * g + beta)
+    y = y * p["v"]
+    b, k, l, _ = y.shape
+    score = jnp.sum(y.reshape(b, k, l, cfg.num_heads, u // cfg.num_heads),
+                    axis=4)  # (B, K, L, H) f32
+    score = jnp.transpose(score, (0, 1, 3, 2))  # (B, K, H, L)
+    if cfg.scale:
+        score = score / p["softmax_temperature"]
+    return score
 
 
 def _probability(cfg: AttentionConfig, score: jnp.ndarray) -> jnp.ndarray:
@@ -148,7 +219,10 @@ def attend(p: Params, cfg: AttentionConfig, query: jnp.ndarray,
     # keep the big (B, L, U) score chain in the keys' storage dtype
     # (bfloat16 under a compute dtype); reductions accumulate in f32
     proj_q = proj_q.astype(memory.keys.dtype)
-    if cfg.alignment in ("add_LN", "add"):
+    if cfg.alignment == "add_LN" and memory.key_mean is not None:
+        # closed-form LN statistics (see _add_ln_scores_fast)
+        score = _add_ln_scores_fast(p, cfg, memory, proj_q)[:, 0]  # (B,H,L)
+    elif cfg.alignment in ("add_LN", "add"):
         score = memory.keys + proj_q  # (B, L, U)
         if cfg.alignment == "add_LN":
             score = layer_norm_apply(p["ln"], score, activation=jnp.tanh)
@@ -210,7 +284,10 @@ def attend_grouped(p: Params, cfg: AttentionConfig, query: jnp.ndarray,
     proj_q = dense_apply(p["query_layer"], query, dtype=dtype)
     proj_q = proj_q.astype(memory.keys.dtype)
     keys = memory.keys[:, None]  # (B, 1, L, U)
-    if cfg.alignment in ("add_LN", "add"):
+    if cfg.alignment == "add_LN" and memory.key_mean is not None:
+        # closed-form LN statistics (see _add_ln_scores_fast)
+        score = _add_ln_scores_fast(p, cfg, memory, proj_q)  # (B, K, H, L)
+    elif cfg.alignment in ("add_LN", "add"):
         score = keys + proj_q[:, :, None, :]  # (B, K, L, U)
         if cfg.alignment == "add_LN":
             score = layer_norm_apply(p["ln"], score, activation=jnp.tanh)
