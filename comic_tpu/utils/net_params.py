@@ -18,28 +18,44 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 DEFAULT_CKPT_DIR = os.path.join(_REPO_ROOT, "ckpt")
 
-# name -> (tarball url, ckpt basename inside the tarball)
+# name -> (tarball url, ckpt basename inside the tarball) — the full
+# reference registry (common/net_params.py:19-91)
+_TF_DL = "http://download.tensorflow.org/models/"
 NET_PARAMS: Dict[str, Dict[str, str]] = {
-    "inception_v1": dict(
-        url=("http://download.tensorflow.org/models/"
-             "inception_v1_2016_08_28.tar.gz"),
-        ckpt="inception_v1.ckpt"),
-    "inception_v2": dict(
-        url=("http://download.tensorflow.org/models/"
-             "inception_v2_2016_08_28.tar.gz"),
-        ckpt="inception_v2.ckpt"),
-    "inception_v3": dict(
-        url=("http://download.tensorflow.org/models/"
-             "inception_v3_2016_08_28.tar.gz"),
-        ckpt="inception_v3.ckpt"),
-    "resnet_v1_50": dict(
-        url=("http://download.tensorflow.org/models/"
-             "resnet_v1_50_2016_08_28.tar.gz"),
-        ckpt="resnet_v1_50.ckpt"),
+    "inception_v1": dict(url=_TF_DL + "inception_v1_2016_08_28.tar.gz",
+                         ckpt="inception_v1.ckpt"),
+    "inception_v2": dict(url=_TF_DL + "inception_v2_2016_08_28.tar.gz",
+                         ckpt="inception_v2.ckpt"),
+    "inception_v3": dict(url=_TF_DL + "inception_v3_2016_08_28.tar.gz",
+                         ckpt="inception_v3.ckpt"),
+    "inception_v4": dict(url=_TF_DL + "inception_v4_2016_09_09.tar.gz",
+                         ckpt="inception_v4.ckpt"),
+    "inception_resnet_v2": dict(
+        url=_TF_DL + "inception_resnet_v2_2016_08_30.tar.gz",
+        ckpt="inception_resnet_v2_2016_08_30.ckpt"),
+    "resnet_v1_50": dict(url=_TF_DL + "resnet_v1_50_2016_08_28.tar.gz",
+                         ckpt="resnet_v1_50.ckpt"),
+    "resnet_v1_101": dict(url=_TF_DL + "resnet_v1_101_2016_08_28.tar.gz",
+                          ckpt="resnet_v1_101.ckpt"),
+    "resnet_v1_152": dict(url=_TF_DL + "resnet_v1_152_2016_08_28.tar.gz",
+                          ckpt="resnet_v1_152.ckpt"),
+    "resnet_v2_50": dict(url=_TF_DL + "resnet_v2_50_2017_04_14.tar.gz",
+                         ckpt="resnet_v2_50.ckpt"),
+    "resnet_v2_101": dict(url=_TF_DL + "resnet_v2_101_2017_04_14.tar.gz",
+                          ckpt="resnet_v2_101.ckpt"),
+    "resnet_v2_152": dict(url=_TF_DL + "resnet_v2_152_2017_04_14.tar.gz",
+                          ckpt="resnet_v2_152.ckpt"),
+    "vgg_16": dict(url=_TF_DL + "vgg_16_2016_08_28.tar.gz",
+                   ckpt="vgg_16.ckpt"),
+    "vgg_19": dict(url=_TF_DL + "vgg_19_2016_08_28.tar.gz",
+                   ckpt="vgg_19.ckpt"),
     "mobilenet_v1": dict(
-        url=("http://download.tensorflow.org/models/"
-             "mobilenet_v1_2018_02_22/mobilenet_v1_1.0_224.tgz"),
+        url=_TF_DL + "mobilenet_v1_2018_02_22/mobilenet_v1_1.0_224.tgz",
         ckpt="mobilenet_v1_1.0_224.ckpt"),
+    "mobilenet_v2": dict(
+        url=("https://storage.googleapis.com/mobilenet_v2/checkpoints/"
+             "mobilenet_v2_1.0_224.tgz"),
+        ckpt="mobilenet_v2_1.0_224.ckpt"),
 }
 
 
@@ -47,7 +63,7 @@ def get_net_params(name: str, ckpt_dir_or_file: Optional[str] = None
                    ) -> Dict[str, str]:
     if name not in NET_PARAMS:
         raise ValueError(f"Unknown network: {name}")
-    net = dict(NET_PARAMS[name])
+    net = dict(NET_PARAMS[name], name=name)
     base = ckpt_dir_or_file or DEFAULT_CKPT_DIR
     if os.path.isfile(base):
         net["ckpt_path"] = base
@@ -80,6 +96,12 @@ def maybe_get_ckpt_file(net: Dict[str, str], allow_download: bool = False
         os.remove(tar_path)
     from .tf_checkpoint import convert_slim_checkpoint
 
-    name = os.path.basename(ckpt).split(".")[0].rsplit("_1.0", 1)[0]
-    cnn_name = "inception_v1" if "inception_v1" in name else name
+    # prefer the registry's own name (ckpt basenames like
+    # 'mobilenet_v2_1.0_224.ckpt' don't parse back to a net name)
+    cnn_name = net.get("name")
+    if not cnn_name:
+        stem = os.path.basename(ckpt).split(".")[0]
+        cnn_name = next((n for n in sorted(NET_PARAMS, key=len,
+                                           reverse=True) if stem.startswith(n)),
+                        stem)
     return convert_slim_checkpoint(ckpt, converted, cnn_name)
