@@ -204,3 +204,60 @@ class TestPipelines:
         images, files = next(iter(pipe))
         assert images.shape == (2, 256, 256, 3)
         assert files[0].startswith("images/")
+
+
+class TestHostResize:
+    def test_tf1_np_matches_tf(self, rng):
+        tf = pytest.importorskip("tensorflow")
+        from comic_tpu.data.preprocessing import resize_bilinear_tf1_np
+
+        img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+        got = resize_bilinear_tf1_np(img, 24, 31).astype(np.float32)
+        want = tf.compat.v1.image.resize_bilinear(
+            img[None].astype(np.float32), (24, 31),
+            align_corners=False).numpy()[0]
+        # both rounded to uint8 semantics: compare pre-rounding to 0.5 LSB
+        np.testing.assert_allclose(got, np.clip(np.rint(want), 0, 255),
+                                   atol=1.0)
+
+    def test_aspect_resize_shape_math(self, rng):
+        """Matches _smallest_size_at_least's int truncation
+        (vgg_preprocessing.py:233-258)."""
+        from comic_tpu.data.preprocessing import _aspect_resize_host
+
+        img = rng.integers(0, 256, (300, 400, 3), dtype=np.uint8)
+        out = _aspect_resize_host(img, 256)
+        assert out.shape[:2] == (256, int(400 * (256 / 300)))
+        img = rng.integers(0, 256, (500, 200, 3), dtype=np.uint8)
+        out = _aspect_resize_host(img, 256)
+        assert out.shape[:2] == (int(500 * (256 / 200)), 256)
+
+    def test_modes_fixed_output_shape(self, rng, tmp_path):
+        from comic_tpu.data.preprocessing import load_and_resize_host
+
+        try:
+            import cv2
+            img = rng.integers(0, 256, (300, 460, 3), dtype=np.uint8)
+            path = str(tmp_path / "x.png")
+            cv2.imwrite(path, img[:, :, ::-1])
+        except ImportError:
+            from PIL import Image
+            img = rng.integers(0, 256, (300, 460, 3), dtype=np.uint8)
+            path = str(tmp_path / "x.png")
+            Image.fromarray(img).save(path)
+        for mode in ("square", "aspect_eval", "aspect_train"):
+            out = load_and_resize_host(path, mode=mode,
+                                       rng=np.random.default_rng(0))
+            assert out.shape == (256, 256, 3) and out.dtype == np.uint8
+
+    def test_mode_dispatch(self, synth):
+        from comic_tpu.data.pipeline import host_resize_mode
+
+        root, _ = synth
+        c = Config(cnn_name="resnet_v1_50")
+        assert host_resize_mode(c, True) == "aspect_train"
+        assert host_resize_mode(c, False) == "aspect_eval"
+        c = Config(cnn_name="inception_v1")
+        assert host_resize_mode(c, True) == "square"
+        c = Config(cnn_name="vgg_19")
+        assert host_resize_mode(c, False) == "aspect_eval"
