@@ -192,6 +192,24 @@ def _register_resnet_v2():
         ))
 
 
+def _register_inception_resnet_v2():
+    from . import inception_resnet_v2 as irv2
+
+    register(EncoderSpec(
+        name="inception_resnet_v2",
+        init=irv2.init_params,
+        apply=irv2.apply,
+        pooled=irv2.pooled_features,
+        default_image_size=irv2.DEFAULT_IMAGE_SIZE,
+        feature_dim=irv2.FEATURE_DIM,
+        default_fm_endpoint="PreAuxLogits",
+        fm_channels={"Mixed_5b": 320, "Mixed_6a": 1088,
+                     "PreAuxLogits": 1088, "Mixed_7a": 2080,
+                     "Conv2d_7b_1x1": 1536},
+        preprocessing="inception",
+    ))
+
+
 def _register_mobilenet_v2():
     from . import mobilenet_v2 as m2
 
@@ -217,6 +235,7 @@ _register_inception_v3()
 _register_inception_v2()
 _register_resnet_v2()
 _register_mobilenet_v2()
+_register_inception_resnet_v2()
 
 
 # --- the reference's `_encoder` (model_base.py:56-104) ---------------------

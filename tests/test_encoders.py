@@ -213,3 +213,47 @@ class TestInceptionV4:
 
     def test_registered(self):
         assert "inception_v4" in available_encoders()
+
+
+class TestInceptionResnetV2:
+    def test_shapes_299(self):
+        from comic_tpu.models import inception_resnet_v2 as irv2
+        p = irv2.init_params(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 299, 299, 3))
+        net, ep = irv2.apply(p, x)
+        # slim endpoint shapes (inception_resnet_v2_test.py expectations)
+        assert ep["Conv2d_1a_3x3"].shape == (1, 149, 149, 32)
+        assert ep["Conv2d_2a_3x3"].shape == (1, 147, 147, 32)
+        assert ep["Conv2d_2b_3x3"].shape == (1, 147, 147, 64)
+        assert ep["MaxPool_3a_3x3"].shape == (1, 73, 73, 64)
+        assert ep["Conv2d_3b_1x1"].shape == (1, 73, 73, 80)
+        assert ep["Conv2d_4a_3x3"].shape == (1, 71, 71, 192)
+        assert ep["MaxPool_5a_3x3"].shape == (1, 35, 35, 192)
+        assert ep["Mixed_5b"].shape == (1, 35, 35, 320)
+        assert ep["Mixed_6a"].shape == (1, 17, 17, 1088)
+        assert ep["PreAuxLogits"].shape == (1, 17, 17, 1088)
+        assert ep["Mixed_7a"].shape == (1, 8, 8, 2080)
+        assert ep["Conv2d_7b_1x1"].shape == (1, 8, 8, 1536)
+        assert irv2.pooled_features(net).shape == (1, 1536)
+
+    def test_early_final_endpoint(self):
+        from comic_tpu.models import inception_resnet_v2 as irv2
+        p = irv2.init_params(jax.random.PRNGKey(0))
+        net, ep = irv2.apply(p, jnp.zeros((1, 299, 299, 3)),
+                             final_endpoint="PreAuxLogits")
+        assert net.shape == (1, 17, 17, 1088)
+        assert "Mixed_7a" not in ep
+
+    def test_param_count(self):
+        from comic_tpu.models import inception_resnet_v2 as irv2
+        n = count_params(irv2.init_params(jax.random.PRNGKey(0)))
+        # IR-v2 base (no aux/logits) ~54.3M
+        assert 52e6 < n < 56e6, n
+
+    def test_registered_and_encodes(self):
+        assert "inception_resnet_v2" in available_encoders()
+        p = encoder_init(jax.random.PRNGKey(0), "inception_resnet_v2")
+        emb, fm = encode_images(p, jnp.zeros((1, 299, 299, 3)),
+                                "inception_resnet_v2", "PreAuxLogits")
+        assert emb.shape == (1, 1536)
+        assert fm.shape == (1, 289, 1088)
