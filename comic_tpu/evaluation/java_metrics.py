@@ -52,8 +52,12 @@ class MeteorScorer:
             proc = self._proc
             eval_line = "EVAL"
             for key in gts:
-                stat_line = " ||| ".join(
-                    ("SCORE", " ||| ".join(gts[key]), res[key][0]))
+                # the jar's field separator must not appear in the text
+                # (meteor.py:53-54 sanitization)
+                hypo = res[key][0].replace("|||", "").replace("  ", " ")
+                refs = [r.replace("|||", "").replace("  ", " ")
+                        for r in gts[key]]
+                stat_line = " ||| ".join(("SCORE", " ||| ".join(refs), hypo))
                 proc.stdin.write(stat_line + "\n")
                 stats = proc.stdout.readline().strip()
                 eval_line += " ||| " + stats
