@@ -17,7 +17,13 @@ program handles an 8-row tile of the (batch x beam) dimension; keys stream
 HBM->VMEM exactly once per decode step.
 
 Numerics: keys may be stored bfloat16; all arithmetic runs in f32 in VMEM.
-Used for inference decode only (training uses the autodiff jnp path).
+
+** MEASURED NEGATIVE RESULT — NOT wired into the decode path. ** This flat
+(beam-tiled) variant reads keys once per HYPOTHESIS; the beam-grouped
+successor (ops/grouped_attention.py) reads them once per IMAGE and still
+loses to the XLA closed-form route by ~40% at the flagship decode shapes —
+see grouped_attention.py's docstring for the measured table and analysis.
+Both kernels are kept as documented, numerics-tested experiments.
 """
 
 from __future__ import annotations

@@ -62,6 +62,30 @@ class TestFusedAttentionKernel:
         np.testing.assert_allclose(align, align_ref, rtol=2e-2, atol=2e-3)
 
 
+class TestGroupedPallasKernel:
+    def test_matches_attend_grouped(self):
+        """Interpreter-mode numerics of the (negative-result) beam-grouped
+        kernel vs the production XLA path."""
+        from comic_tpu.ops.grouped_attention import grouped_add_ln_attention
+
+        B, K, L, U, H = 3, 3, 7, 16, 4
+        cfg = AttentionConfig(num_units=U, num_heads=H, memory_channels=12,
+                              fm_projection="tied")
+        p = attention_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        fm = jnp.asarray(rng.normal(size=(B, L, 12)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(B, K, U)).astype(np.float32))
+        mem = precompute(p, cfg, fm)
+        ctx_ref, align_ref = attend_grouped(p, cfg, q, mem)
+        pq = dense_apply(p["query_layer"], q)
+        ctx, align = grouped_add_ln_attention(
+            pq, mem.keys, mem.key_mean, mem.key_m2, p["v"],
+            p["ln"]["scale"], p["ln"]["bias"], p["softmax_temperature"],
+            num_heads=H, interpret=True)
+        np.testing.assert_allclose(align, align_ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ctx, ctx_ref, rtol=1e-5, atol=1e-6)
+
+
 class TestGroupedAttention:
     def test_grouped_equals_tiled_flat(self):
         """attend_grouped on untiled memory == attend on beam-tiled memory."""
