@@ -110,6 +110,93 @@ def write_caption_txts(
     return {s: len(ls) for s, ls in lines.items()}
 
 
+def tokenised_word_to_txt_v2(
+    dataset: Sequence[TokenisedImage],
+    caption_len_thres: int = 20,
+    include_restval: bool = True,
+) -> Dict[str, List[str]]:
+    """V2 line lists: GO/EOS are wrapped BEFORE truncation to thres+2, so
+    very long captions lose their EOS (prepro_base.py:257-285; V1 truncates
+    the tokens first and always keeps GO/EOS). Returns per-split lists of
+    ``filepath,<GO> tokens [...]`` lines."""
+    out: Dict[str, List[str]] = {"train": [], "valid": [], "test": []}
+    for d in dataset:
+        split = convert_split(d["split"], include_restval)
+        if split not in out:
+            continue
+        for toks in d["tokens"]:
+            wrapped = [GO] + list(toks) + [EOS]
+            out[split].append(
+                f"{d['filepath']},{' '.join(wrapped[:caption_len_thres + 2])}")
+    return out
+
+
+def serialise_everything(
+    output_filepath: str,
+    image_dir: str,
+    image_size: Tuple[int, int],
+    image_chunk_num: int,
+    word_to_txt_dict: Dict[str, List[str]],
+    wtoi: Dict[str, int],
+    itow: Dict,
+) -> str:
+    """Packed single-file dataset: captions + vocab + decoded uint8 images
+    in one HDF5 (prepro_base.py:288-360). Caption lines are rewritten as
+    ``<image index>,<filepath>,<caption>`` against the image array order
+    (train ++ valid ++ test uniques). Requires h5py."""
+    import h5py
+    import numpy as np
+
+    sets = {s: sorted({l.split(",")[0] for l in word_to_txt_dict[s]})
+            for s in ("train", "valid", "test")}
+    assert not (set(sets["train"]) & set(sets["valid"]))
+    assert not (set(sets["train"]) & set(sets["test"]))
+    assert not (set(sets["valid"]) & set(sets["test"]))
+    all_set = sets["train"] + sets["valid"] + sets["test"]
+    idx = {p: i for i, p in enumerate(all_set)}
+
+    from ..data.preprocessing import decode_image_host, _resize_host
+
+    path = f"{output_filepath}.h5"
+    with h5py.File(path, "w") as f:
+        sdt = h5py.special_dtype(vlen=str)
+        f.create_dataset("wtoi", data=json.dumps(wtoi))
+        f.create_dataset("itow", data=json.dumps(itow))
+        for split in ("valid", "test"):
+            d = f.create_dataset(f"filenames_{split}", (len(sets[split]),),
+                                 dtype=sdt)
+            d[:] = sets[split]
+        for split, lines in word_to_txt_dict.items():
+            indexed = [f"{idx[l.split(',')[0]]},{l}" for l in lines]
+            d = f.create_dataset(split, (len(indexed),), dtype=sdt)
+            d[:] = indexed
+        h, w = image_size
+        d = f.create_dataset(
+            "images", (len(all_set), h, w, 3),
+            chunks=(image_chunk_num, h, w, 3), dtype="uint8")
+        for i, fname in enumerate(all_set):
+            img = decode_image_host(pjoin(image_dir, fname))
+            d[i] = _resize_host(img, h, w)
+    return path
+
+
+def load_h5_dataset(filepath: str, max_images: Optional[int] = None) -> Dict:
+    """Reader for the packed file (prepro_base.py:365-383 test_h5_file)."""
+    import h5py
+
+    data: Dict = {}
+    with h5py.File(filepath, "r") as f:
+        data["wtoi"] = json.loads(f["wtoi"][()])
+        data["itow"] = json.loads(f["itow"][()])
+        for k in ("filenames_valid", "filenames_test", "train", "valid",
+                  "test"):
+            data[k] = [s.decode() if isinstance(s, bytes) else s
+                       for s in f[k][:]]
+        data["images"] = (f["images"][:max_images] if max_images
+                          else f["images"][:])
+    return data
+
+
 def write_vocab(dataset: Sequence[TokenisedImage], out_dir: str,
                 prefix: str, *, word_count_thres: int = 5,
                 caption_len_thres: int = 20,

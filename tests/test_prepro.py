@@ -75,6 +75,65 @@ class TestPreproBase:
         assert line.count(" w") == 5
 
 
+class TestTxtV2AndPacked:
+    def _dataset(self):
+        from comic_tpu.prepro.base import TokenisedImage
+
+        return [
+            TokenisedImage(filepath="a.png", split="train", image_id=1,
+                           tokens=[["w"] * 25, ["a", "cat"]]),
+            TokenisedImage(filepath="b.png", split="val", image_id=2,
+                           tokens=[["a", "dog"]]),
+            TokenisedImage(filepath="c.png", split="test", image_id=3,
+                           tokens=[["a", "bird"]]),
+        ]
+
+    def test_txt_v2_truncates_after_wrap(self):
+        """V2 wraps GO/EOS first, then truncates to thres+2 — long captions
+        lose EOS (prepro_base.py:257-285)."""
+        from comic_tpu.prepro.base import tokenised_word_to_txt_v2
+
+        out = tokenised_word_to_txt_v2(self._dataset(), caption_len_thres=20)
+        long_line = out["train"][0]
+        toks = long_line.split(",")[1].split(" ")
+        assert len(toks) == 22 and toks[0] == "<GO>" and toks[-1] == "w"
+        short_line = out["train"][1]
+        assert short_line == "a.png,<GO> a cat <EOS>"
+        assert out["valid"] == ["b.png,<GO> a dog <EOS>"]
+
+    def test_serialise_and_load_h5(self, tmp_path):
+        pytest.importorskip("h5py")
+        from comic_tpu.prepro.base import (
+            load_h5_dataset,
+            serialise_everything,
+            tokenised_word_to_txt_v2,
+        )
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for name in ("a.png", "b.png", "c.png"):
+            arr = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+            try:
+                import cv2
+                cv2.imwrite(str(img_dir / name), arr[:, :, ::-1])
+            except ImportError:
+                from PIL import Image
+                Image.fromarray(arr).save(str(img_dir / name))
+        txt = tokenised_word_to_txt_v2(self._dataset())
+        wtoi = {"a": 0, "cat": 1}
+        path = serialise_everything(
+            str(tmp_path / "packed"), str(img_dir), (32, 32), 1, txt,
+            wtoi, {0: "a", 1: "cat"})
+        data = load_h5_dataset(path)
+        assert data["wtoi"] == wtoi
+        assert data["images"].shape == (3, 32, 32, 3)
+        assert data["filenames_test"] == ["c.png"]
+        # caption lines carry the image index into the packed array
+        fidx, fp, _ = data["train"][1].split(",")
+        assert fp == "a.png" and data["images"][int(fidx)].shape == (32, 32, 3)
+
+
 class TestInstaTokenize:
     def test_username_collapse(self):
         toks = insta_tokenize("thanks @some.user_99 for the pic")
