@@ -233,9 +233,40 @@ _register_vggs()
 _register_mobilenet()
 _register_inception_v3()
 _register_inception_v2()
+def _register_nasnets():
+    from . import nasnet as nn
+
+    # default attention endpoints pick the stride-16 (14x14 / 21x21) map,
+    # matching the Mixed_4f altitude of the flagship
+    fm = {
+        "nasnet_mobile": ("Cell_7", {"Cell_3": 264, "Cell_7": 528,
+                                     "Cell_11": 1056}),
+        "nasnet_large": ("Cell_11", {"Cell_5": 1008, "Cell_11": 2016,
+                                     "Cell_17": 4032}),
+        "pnasnet_mobile": ("Cell_5", {"Cell_2": 270, "Cell_5": 540,
+                                      "Cell_8": 1080}),
+        "pnasnet_large": ("Cell_7", {"Cell_3": 1080, "Cell_7": 2160,
+                                     "Cell_11": 4320}),
+    }
+    for name, (default_ep, channels) in fm.items():
+        register(EncoderSpec(
+            name=name,
+            init=(lambda key, n=name: nn.init_params(key, n)),
+            apply=(lambda p, x, final_endpoint=None, dtype=None, n=name:
+                   nn.apply(p, x, n, final_endpoint, dtype)),
+            pooled=nn.pooled_features,
+            default_image_size=nn.DEFAULT_IMAGE_SIZES[name],
+            feature_dim=nn.FEATURE_DIMS[name],
+            default_fm_endpoint=default_ep,
+            fm_channels=channels,
+            preprocessing="inception",
+        ))
+
+
 _register_resnet_v2()
 _register_mobilenet_v2()
 _register_inception_resnet_v2()
+_register_nasnets()
 
 
 # --- the reference's `_encoder` (model_base.py:56-104) ---------------------

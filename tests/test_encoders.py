@@ -257,3 +257,80 @@ class TestInceptionResnetV2:
                                 "inception_resnet_v2", "PreAuxLogits")
         assert emb.shape == (1, 1536)
         assert fm.shape == (1, 289, 1088)
+
+
+class TestNasNet:
+    """Endpoint shapes from the vendored slim tests
+    (nasnet_test.py:127-260, pnasnet_test.py:118-176)."""
+
+    def test_nasnet_mobile_endpoints_224(self):
+        from comic_tpu.models import nasnet as nn
+        p = nn.init_params(jax.random.PRNGKey(0), "nasnet_mobile")
+        net, ep = jax.jit(lambda x: nn.apply(p, x, "nasnet_mobile"))(
+            jnp.zeros((1, 224, 224, 3)))
+        assert ep["Stem"].shape == (1, 28, 28, 88)
+        assert ep["Cell_0"].shape == (1, 28, 28, 264)
+        assert ep["Cell_3"].shape == (1, 28, 28, 264)
+        assert ep["Cell_4"].shape == (1, 14, 14, 528)
+        assert ep["Cell_7"].shape == (1, 14, 14, 528)
+        assert ep["Cell_8"].shape == (1, 7, 7, 1056)
+        assert ep["Cell_11"].shape == (1, 7, 7, 1056)
+        assert ep["Reduction_Cell_0"].shape == (1, 14, 14, 352)
+        assert ep["Reduction_Cell_1"].shape == (1, 7, 7, 704)
+        assert nn.pooled_features(net).shape == (1, 1056)
+        n = count_params(p)
+        # NASNet-A mobile base ~4.2M (5.3M with the 1000-way classifier)
+        assert 4.0e6 < n < 4.6e6, n
+
+    def test_pnasnet_mobile_endpoints_224(self):
+        from comic_tpu.models import nasnet as nn
+        p = nn.init_params(jax.random.PRNGKey(0), "pnasnet_mobile")
+        net, ep = jax.jit(lambda x: nn.apply(p, x, "pnasnet_mobile"))(
+            jnp.zeros((1, 224, 224, 3)))
+        assert ep["Stem"].shape == (1, 28, 28, 135)
+        assert ep["Cell_0"].shape == (1, 28, 28, 270)
+        assert ep["Cell_3"].shape == (1, 14, 14, 540)
+        assert ep["Cell_6"].shape == (1, 7, 7, 1080)
+        assert ep["Cell_8"].shape == (1, 7, 7, 1080)
+        assert nn.pooled_features(net).shape == (1, 1080)
+
+    @pytest.mark.slow
+    def test_nasnet_large_endpoints_331(self):
+        from comic_tpu.models import nasnet as nn
+        p = nn.init_params(jax.random.PRNGKey(0), "nasnet_large")
+        net, ep = jax.jit(lambda x: nn.apply(p, x, "nasnet_large"))(
+            jnp.zeros((1, 331, 331, 3)))
+        assert ep["Stem"].shape == (1, 42, 42, 336)
+        assert ep["Cell_0"].shape == (1, 42, 42, 1008)
+        assert ep["Cell_6"].shape == (1, 21, 21, 2016)
+        assert ep["Cell_12"].shape == (1, 11, 11, 4032)
+        assert ep["Cell_17"].shape == (1, 11, 11, 4032)
+        assert ep["Reduction_Cell_0"].shape == (1, 21, 21, 1344)
+        assert ep["Reduction_Cell_1"].shape == (1, 11, 11, 2688)
+        assert nn.pooled_features(net).shape == (1, 4032)
+        n = count_params(p)
+        # NASNet-A large base ~85M (88.9M with classifier)
+        assert 82e6 < n < 89e6, n
+
+    @pytest.mark.slow
+    def test_pnasnet_large_endpoints_331(self):
+        from comic_tpu.models import nasnet as nn
+        p = nn.init_params(jax.random.PRNGKey(0), "pnasnet_large")
+        net, ep = jax.jit(lambda x: nn.apply(p, x, "pnasnet_large"))(
+            jnp.zeros((1, 331, 331, 3)))
+        assert ep["Stem"].shape == (1, 42, 42, 540)
+        assert ep["Cell_0"].shape == (1, 42, 42, 1080)
+        assert ep["Cell_4"].shape == (1, 21, 21, 2160)
+        assert ep["Cell_8"].shape == (1, 11, 11, 4320)
+        assert ep["Cell_11"].shape == (1, 11, 11, 4320)
+        assert nn.pooled_features(net).shape == (1, 4320)
+
+    def test_registered_and_encodes(self):
+        for name in ("nasnet_mobile", "nasnet_large", "pnasnet_mobile",
+                     "pnasnet_large"):
+            assert name in available_encoders()
+        p = encoder_init(jax.random.PRNGKey(0), "nasnet_mobile")
+        emb, fm = encode_images(p, jnp.zeros((1, 224, 224, 3)),
+                                "nasnet_mobile", "Cell_7")
+        assert emb.shape == (1, 1056)
+        assert fm.shape == (1, 196, 528)
