@@ -87,6 +87,7 @@ def bench_serving(config, spec, params, steps, beam):
 
     rng = np.random.default_rng(0)
     best, best_batch = 0.0, 0
+    # 192 measured 4038 captions/s (bad tiling for 576 beam rows) — skip it
     for batch in (64, 128, 256):
         images_u8 = jnp.asarray(
             rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
