@@ -66,6 +66,11 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
     l2_decay = float(config.l2_decay)
 
     def loss_fn(params, images_u8, captions, rng):
+        # frozen leaves become constants: with the whole CNN frozen (the
+        # default decoder stage) autodiff prunes the entire conv backward
+        # pass instead of computing grads the optimizer would zero anyway
+        params = jax.tree_util.tree_map(
+            lambda p, m: p if m else jax.lax.stop_gradient(p), params, mask)
         k_aug, k_drop = jax.random.split(rng)
         images = preprocess(images_u8, k_aug, h, w, augment)
         log_ppl, aux = xe_forward(params, spec, images, captions,

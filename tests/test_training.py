@@ -91,6 +91,62 @@ class TestOptimizer:
         m = scope_mask(_toy_params(), "encoder/cnn")
         assert m["encoder"]["cnn"]["w"] and not m["decoder"]["emb"]
 
+    def test_frozen_cnn_step_skips_cnn_and_matches_decoder_grads(self):
+        """With encoder/cnn frozen, the fused train step must leave the CNN
+        bit-identical AND produce the same decoder update as an unfrozen
+        run whose optimizer merely zeroes the CNN grads (the stop_gradient
+        backward pruning must not change decoder gradients)."""
+        from comic_tpu.configuration import Config
+        from comic_tpu.models.captioner import build_model_spec, init_params
+        from comic_tpu.tokenization import Vocabulary
+        from comic_tpu.training.schedule import cosine_schedule
+        from comic_tpu.training.xe import TrainState, make_train_step
+
+        wtoi = {"<PAD>": -1, "w": 0, "<UNK>": 1, "<GO>": 2, "<EOS>": 3}
+        vocab = Vocabulary(wtoi)
+        c = Config(token_type="radix", radix_base=8, rnn_size=16,
+                   rnn_word_size=8, attn_num_heads=2,
+                   compute_dtype="float32", cnn_input_size=(64, 64),
+                   dropout_rnn_in=0.0, dropout_rnn_out=0.0,
+                   attn_keep_prob=1.0, cnn_input_augment=False,
+                   freeze_scopes="encoder/cnn")
+        spec = build_model_spec(c, vocab)
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 256, (4, 256, 256, 3), dtype=np.uint8)
+        caps = np.full((4, 6), -1, np.int32)
+        caps[:, 0] = 8
+        caps[:, 1:4] = rng.integers(0, 8, (4, 3))
+        caps[:, 4] = 9
+
+        results = []
+        for scopes in ("encoder/cnn", ""):
+            c.freeze_scopes = scopes
+            params = init_params(jax.random.PRNGKey(0), spec)
+            # in the unfrozen control, zero CNN updates via the multiplier
+            opt, mask = build_optimizer(
+                params, cosine_schedule(1e-3, 1e-4, 10),
+                freeze_scopes=scopes,
+                cnn_grad_multiplier=0.0 if not scopes else 1.0)
+            state = TrainState(params, opt.init(params),
+                               jnp.asarray(0, jnp.int32))
+            step = make_train_step(spec, c, opt, mask, (64, 64))
+            state, metrics = step(state, images, caps, jax.random.PRNGKey(7))
+            results.append((
+                float(metrics["log_ppl"]),
+                np.asarray(state.params["decoder"]["embedding"]),
+                np.asarray(
+                    state.params["encoder"]["cnn"]["Conv2d_1a_7x7"]["weights"]),
+            ))
+
+        init_cnn = np.asarray(init_params(
+            jax.random.PRNGKey(0), spec)["encoder"]["cnn"]["Conv2d_1a_7x7"]["weights"])
+        # frozen run: CNN bit-identical to init
+        np.testing.assert_array_equal(results[0][2], init_cnn)
+        # same forward loss and same decoder update as the control
+        np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+        np.testing.assert_allclose(results[0][1], results[1][1],
+                                   rtol=1e-5, atol=1e-7)
+
 
 class TestCheckpoints:
     def test_save_load_roundtrip(self, tmp_path):
