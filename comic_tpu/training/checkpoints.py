@@ -96,6 +96,67 @@ def save_checkpoint(directory: str, step: int, params: Params,
     return full, compact
 
 
+class AsyncCheckpointer:
+    """Background checkpoint writer: serialization + file IO + retention
+    pruning run on a worker thread so the training loop only pays for the
+    device->host transfer.
+
+    The transfer itself stays synchronous on purpose: the fused train step
+    donates its state buffers, so an in-flight async d2h copy could race
+    with the next step's buffer reuse (and this backend's stream semantics
+    are unusual — see CLAUDE.md). msgpack encoding of the ~25 MB state and
+    the disk write are the dominant host cost and overlap fully.
+
+    Worker exceptions surface on the next save()/wait(). Use as a drop-in
+    for save_checkpoint; call close() (or wait()) before reading the files.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            try:
+                save_checkpoint(**job)
+            except BaseException as e:  # surfaced on next call
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def save(self, directory: str, step: int, params: Params,
+             opt_state: Any = None, *, max_saves: int = 12) -> None:
+        """Snapshot to host (synchronous) and enqueue the write."""
+        self._raise_pending()
+        self._q.put(dict(directory=directory, step=int(step),
+                         params=_to_numpy(params),
+                         opt_state=(None if opt_state is None
+                                    else _to_numpy(opt_state)),
+                         max_saves=max_saves))
+
+    def wait(self) -> None:
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
+
+
 def load_compact(path_or_dir: str, template: Params) -> Params:
     """Load a compact checkpoint into the shape of `template`."""
     path = _resolve(path_or_dir, COMPACT_PREFIX)

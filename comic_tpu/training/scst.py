@@ -256,6 +256,7 @@ def train_fn_scst(config: Config, *,
                                       mesh=mesh)
     width = hypo_width(config, vocab)
     writer = SummaryWriter(config.log_path)
+    saver = ckpt.AsyncCheckpointer()
     save_every = max(pipe.config.split_sizes["train"]
                      // config.batch_size_train, 1)
 
@@ -286,20 +287,17 @@ def train_fn_scst(config: Config, *,
                   f"{n_since / max(dt, 1e-9):.1f} ex/s")
             t_last, n_since = time.time(), 0
         if step > 0 and step % save_every == 0:
-            ckpt.save_checkpoint(config.log_path, step,
-                                 jax.device_get(state.params),
-                                 jax.device_get(state.opt_state),
-                                 max_saves=config.max_saves)
+            saver.save(config.log_path, step, state.params,
+                       state.opt_state, max_saves=config.max_saves)
 
     if pending is not None:
         rng, k_train = jax.random.split(rng)
         state, metrics, step = _finish_step(
             pending, state, train_step, scorer, config, vocab, width,
             k_train, writer, step, schedule)
-    ckpt.save_checkpoint(config.log_path, step,
-                         jax.device_get(state.params),
-                         jax.device_get(state.opt_state),
-                         max_saves=config.max_saves)
+    saver.save(config.log_path, step, state.params, state.opt_state,
+               max_saves=config.max_saves)
+    saver.close()
     writer.close()
     return metrics
 

@@ -241,6 +241,7 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
                                mesh=mesh)
 
     writer = SummaryWriter(config.log_path)
+    saver = ckpt.AsyncCheckpointer()
     log_every = max(steps_per_epoch // max(config.num_logs_per_epoch, 1), 1)
     # checkpoint each epoch, or twice per epoch for huge epochs
     save_every = (steps_per_epoch if steps_per_epoch <= 5000
@@ -285,15 +286,16 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
             t_last, n_since = time.time(), 0
 
         if step % save_every == 0 or step == max_step:
-            host_params = jax.device_get(state.params)
-            ckpt.save_checkpoint(config.log_path, step, host_params,
-                                 jax.device_get(state.opt_state),
-                                 max_saves=config.max_saves)
+            # serialization + IO happen on the saver thread; only the
+            # device->host snapshot blocks the loop
+            saver.save(config.log_path, step, state.params,
+                       state.opt_state, max_saves=config.max_saves)
             eval_ppl = evaluate_perplexity(eval_step, state.params,
                                            eval_pipe)
             writer.scalars(step, {"eval_perplexity": eval_ppl})
             print(f"step {step}: eval perplexity {eval_ppl:.3f}")
 
+    saver.close()
     writer.close()
     out = {k: float(v) for k, v in metrics.items()} if metrics else {}
     return out

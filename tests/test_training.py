@@ -148,6 +148,40 @@ class TestOptimizer:
                                    rtol=1e-5, atol=1e-7)
 
 
+class TestAsyncCheckpointer:
+    def test_save_wait_load_roundtrip(self, tmp_path):
+        from comic_tpu.training import checkpoints as ckpt
+
+        params = {"decoder": {"w": jnp.arange(4.0)}}
+        saver = ckpt.AsyncCheckpointer()
+        for step in (1, 2, 3):
+            saver.save(str(tmp_path), step, params, {"opt": jnp.zeros(2)},
+                       max_saves=2)
+        saver.close()
+        names = ckpt.list_checkpoints(str(tmp_path))
+        assert names == ["model_compact-2", "model_compact-3"]  # retention
+        loaded = ckpt.load_compact(str(tmp_path), params)
+        np.testing.assert_array_equal(loaded["decoder"]["w"],
+                                      params["decoder"]["w"])
+        fulls = ckpt.list_checkpoints(str(tmp_path), ckpt.FULL_PREFIX)
+        assert fulls == ["model-2", "model-3"]
+
+    def test_worker_error_surfaces(self, tmp_path):
+        from comic_tpu.training import checkpoints as ckpt
+
+        saver = ckpt.AsyncCheckpointer()
+        # unwritable directory -> the worker fails; error surfaces on wait
+        bad = tmp_path / "f"
+        bad.write_text("not a dir")
+        saver.save(str(bad), 1, {"w": jnp.zeros(1)})
+        with pytest.raises(BaseException):
+            saver.wait()
+        # saver stays usable afterwards
+        saver.save(str(tmp_path), 2, {"w": jnp.zeros(1)})
+        saver.close()
+        assert ckpt.list_checkpoints(str(tmp_path)) == ["model_compact-2"]
+
+
 class TestCheckpoints:
     def test_save_load_roundtrip(self, tmp_path):
         p = _toy_params()
