@@ -65,7 +65,8 @@ def encode_caption_tokens(
         return np.asarray([vocab.id(t) for t in tokens], dtype=np.int32)
     if token_type == "radix":
         codec = RadixCodec(len(vocab), radix_base)
-        return codec.encode_caption(tokens, vocab.wtoi).astype(np.int32)
+        return codec.encode_caption(
+            tokens, vocab.wtoi, vocab.radix_map(radix_base)).astype(np.int32)
     if token_type == "char":
         interior = " ".join(tokens[1:-1])
         ids = [vocab.wtoi[ch] for ch in interior]
