@@ -100,3 +100,44 @@ class TestNumerics:
             (x - [0.5, 0.0]) / np.sqrt(np.array([4.0, 1.0]) + iv1.BN_EPS)
             + [1.0, -1.0], 0.0)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestComposedGolden:
+    def test_stem_through_mixed_3b_matches_tf(self, rng):
+        """COMPOSED-network golden: the stem + first inception block built
+        from raw tf.nn ops with OUR weights must match our apply() — checks
+        the SAME-padding chains, pool placement, and branch concat order
+        end to end, beyond the per-op goldens above."""
+        tf = pytest.importorskip("tensorflow")
+
+        p = iv1.init_params(jax.random.PRNGKey(0))
+        x = (rng.normal(size=(1, 64, 64, 3)) * 0.5).astype(np.float32)
+        pn = jax.tree_util.tree_map(lambda a: np.asarray(a), p)
+
+        def conv_bn_relu(pp, y, stride):
+            y = tf.nn.conv2d(y, pp["weights"], strides=stride,
+                             padding="SAME")
+            bn = pp["BatchNorm"]
+            y = ((y - bn["moving_mean"])
+                 / np.sqrt(bn["moving_variance"] + iv1.BN_EPS)
+                 + bn["beta"])
+            return tf.nn.relu(y)
+
+        y = conv_bn_relu(pn["Conv2d_1a_7x7"], x, 2)
+        y = tf.nn.max_pool2d(y, 3, 2, "SAME")
+        y = conv_bn_relu(pn["Conv2d_2b_1x1"], y, 1)
+        y = conv_bn_relu(pn["Conv2d_2c_3x3"], y, 1)
+        y = tf.nn.max_pool2d(y, 3, 2, "SAME")
+        m = pn["Mixed_3b"]
+        b0 = conv_bn_relu(m["Branch_0"]["Conv2d_0a_1x1"], y, 1)
+        b1 = conv_bn_relu(m["Branch_1"]["Conv2d_0a_1x1"], y, 1)
+        b1 = conv_bn_relu(m["Branch_1"]["Conv2d_0b_3x3"], b1, 1)
+        b2 = conv_bn_relu(m["Branch_2"]["Conv2d_0a_1x1"], y, 1)
+        b2 = conv_bn_relu(m["Branch_2"]["Conv2d_0b_3x3"], b2, 1)
+        b3 = tf.nn.max_pool2d(y, 3, 1, "SAME")
+        b3 = conv_bn_relu(m["Branch_3"]["Conv2d_0b_1x1"], b3, 1)
+        want = tf.concat([b0, b1, b2, b3], axis=3).numpy()
+
+        _, ep = iv1.apply(p, jnp.asarray(x), final_endpoint="Mixed_3b")
+        np.testing.assert_allclose(np.asarray(ep["Mixed_3b"]), want,
+                                   rtol=1e-4, atol=5e-5)
