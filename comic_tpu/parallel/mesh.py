@@ -67,3 +67,24 @@ def host_shard_indices(n_items: int, batch_size: int) -> range:
     pipelines (each host feeds its local devices)."""
     pid, n = jax.process_index(), jax.process_count()
     return range(pid, n_items, n)
+
+
+def local_batch(x, axis: int = 0) -> np.ndarray:
+    """Host-addressable rows of a batch-sharded global array, concatenated
+    in shard order along `axis` (SURVEY §7 step 8: each host scores ITS
+    shard of the SCST rollout; single-host this is just the whole array).
+    `axis` matters for beam-major layouts like (beam, batch, time)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[axis].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)
+
+
+def global_batch(mesh: Mesh, x_local: np.ndarray):
+    """Inverse of local_batch: assemble a batch-sharded global array from
+    each host's local rows (identity wrapper on single host)."""
+    if jax.process_count() == 1:
+        return x_local
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), x_local)

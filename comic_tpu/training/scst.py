@@ -274,7 +274,7 @@ def train_fn_scst(config: Config, *,
         if pending is not None:
             state, metrics, step = _finish_step(
                 pending, state, train_step, scorer, config, vocab, width,
-                k_train, writer, step, schedule)
+                k_train, writer, step, schedule, mesh=mesh)
             n_since += config.batch_size_train
         pending = (out, refs)
 
@@ -294,7 +294,7 @@ def train_fn_scst(config: Config, *,
         rng, k_train = jax.random.split(rng)
         state, metrics, step = _finish_step(
             pending, state, train_step, scorer, config, vocab, width,
-            k_train, writer, step, schedule)
+            k_train, writer, step, schedule, mesh=mesh)
     saver.save(config.log_path, step, state.params, state.opt_state,
                max_saves=config.max_saves)
     saver.close()
@@ -303,11 +303,24 @@ def train_fn_scst(config: Config, *,
 
 
 def _finish_step(pending, state, train_step, scorer, config, vocab, width,
-                 k_train, writer, step, schedule):
+                 k_train, writer, step, schedule, mesh=None):
+    """Host half of one SCST step.
+
+    Multi-host (SURVEY §7 step 8): each host pulls only ITS addressable
+    shard of the decoded ids (`local_batch`), scores rewards for its images
+    against its own references, and contributes its rows back as a
+    batch-sharded global array (`global_batch`) — no cross-host caption
+    traffic. Single-host these helpers are identity.
+    """
+    from ..parallel.mesh import global_batch, local_batch
+
     (greedy_ids, beam_ids, im_embed, fmaps), refs = pending
     hypo_ids, rewards, score_metrics = score_and_encode(
-        scorer, config, vocab, refs, np.asarray(greedy_ids),
-        np.asarray(beam_ids), width)
+        scorer, config, vocab, refs, local_batch(greedy_ids),
+        local_batch(beam_ids, axis=1), width)
+    if mesh is not None:
+        hypo_ids = global_batch(mesh, hypo_ids)
+        rewards = global_batch(mesh, rewards)
     state, metrics = train_step(state, im_embed, fmaps, hypo_ids,
                                 rewards, k_train)
     metrics = {k: float(v) for k, v in metrics.items()}
