@@ -114,11 +114,17 @@ class _ImageLoaderPool:
             load_one(0)
             return out
         threads = []
+        errors: List[BaseException] = []
         chunk = max(1, len(paths) // self.num_workers)
 
         def work(lo, hi):
-            for i in range(lo, hi):
-                load_one(i)
+            # a raising worker must fail load(), not leave its slice of the
+            # np.empty batch as uninitialized garbage
+            try:
+                for i in range(lo, hi):
+                    load_one(i)
+            except BaseException as e:
+                errors.append(e)
 
         for lo in range(0, len(paths), chunk):
             t = threading.Thread(target=work, args=(lo, min(lo + chunk, len(paths))))
@@ -126,6 +132,8 @@ class _ImageLoaderPool:
             threads.append(t)
         for t in threads:
             t.join()
+        if errors:
+            raise errors[0]
         return out
 
 

@@ -272,6 +272,13 @@ def load_and_resize_host(path: str, size: int = RESIZE_SIZE,
         side = max(side, size)
         img = _aspect_resize_host(img, side, tf1_exact)
         h, w = img.shape[:2]
+        # the reference's _smallest_size_at_least truncates (int(h*scale)),
+        # so the non-smallest side can land 1 px BELOW `side` (e.g. a
+        # 237-px side scaled to 256 yields 255) — clamp the crop range and
+        # center-pad the sub-size case rather than raising inside a loader
+        # thread
+        if h < size or w < size:
+            return _center_crop_host(img, size)
         off_h = int(rng.integers(0, h - size + 1))
         off_w = int(rng.integers(0, w - size + 1))
         return img[off_h: off_h + size, off_w: off_w + size]

@@ -121,7 +121,10 @@ def run_inference(config: Config, ckpt_path: str,
     n_done = 0
     t0 = time.time()
     for images, files in iter(pipe):
-        ids, attn = serve(params, jnp.asarray(images))
+        # raw numpy in: jit shards + transfers per its in_shardings
+        # (jnp.asarray would commit the batch to device 0 and force a
+        # per-batch reshard — CLAUDE.md hot-loop rule)
+        ids, attn = serve(params, images)
         caps = ids_to_captions(np.asarray(ids), config.token_type, vocab,
                                config.radix_base)
         for f, c in zip(files, caps):
@@ -131,7 +134,8 @@ def run_inference(config: Config, ckpt_path: str,
             # the reference pickles the whole run's maps (infer_fn.py:129-175);
             # default here caps the artifact at 4 images — set
             # config.infer_attention_max_images=-1 for full reference output
-            limit = int(config.get("infer_attention_max_images") or 4)
+            limit = config.get("infer_attention_max_images")
+            limit = 4 if limit is None else int(limit)  # 0 = store none
             if limit < 0 or len(attn_store) < limit:
                 maps = np.asarray(attn)
                 for j, f in enumerate(files):

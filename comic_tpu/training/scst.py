@@ -14,8 +14,9 @@ sample pass, the greedy pass, AND the beam-tiled training pass. Here:
      re-encodes the hypotheses to padded ids (fixed width -> one compiled
      train graph).
   3. ONE jitted `train_step` teacher-forces the hypotheses against the
-     beam-tiled encoder outputs (tiled on device, never re-encoded) with
-     per-example XE x reward (model_base.py:342-347) + map/L2 losses.
+     beam-repeated encoder outputs (repeated on device in image-major row
+     order, never re-encoded) with per-example XE x reward
+     (model_base.py:342-347) + map/L2 losses.
 
   Rollout for batch t+1 is dispatched before the host scores batch t, so
   CIDEr computation overlaps device compute.
@@ -123,25 +124,26 @@ def make_scst_train_step(spec: ModelSpec, config: Config, optimizer, mask,
                          mesh=None):
     """(state, im_embed, fmaps, hypo_ids, rewards, rng) -> (state, metrics).
 
-    im_embed/fmaps are per-image; they are beam-tiled ON DEVICE to match the
-    (beam * batch) hypothesis rows.
+    im_embed/fmaps are per-image; they are beam-repeated ON DEVICE to match
+    the hypothesis rows. hypo_ids/rewards are IMAGE-MAJOR (row i*beam + k =
+    image i, hypothesis k) — unlike the reference's beam-major scoring
+    layout — because image-major rows keep each image's hypotheses next to
+    its encoder outputs: batch sharding needs no all-gather for the repeat,
+    and each host's rows stay contiguous for multi-host reassembly
+    (_finish_step converts from the scorer's beam-major layout).
 
-    With a mesh, the per-image encoder outputs (already device-resident,
-    batch-sharded by the rollout) and the host-scored hypothesis ids/rewards
-    are all sharded on their leading axis; XLA inserts the gradient
-    all-reduce. NOTE: beam-major tiling turns a batch-sharded [batch, ...]
-    into [beam*batch, ...] whose blocks each need the full image batch, so
-    the tile incurs an all-gather of the (small) encoder outputs — the
-    heavy gradient math still runs fully sharded.
+    With a mesh, encoder outputs (already device-resident, batch-sharded by
+    the rollout) and the host-scored hypothesis ids/rewards all shard on
+    their leading axis; XLA inserts the gradient all-reduce.
     """
     beam = int(config.scst_beam_size)
     map_scale = float(config.rnn_map_loss_scale)
     l2_decay = float(config.l2_decay)
 
     def loss_fn(params, im_embed, fmaps, hypo_ids, rewards, rng):
-        # beam-major tiling: row i of block b is image i (tile, not repeat)
-        im_k = jnp.tile(im_embed, (beam, 1))
-        fm_k = jnp.tile(fmaps, (beam, 1, 1))
+        # image-major repeat: rows i*beam..(i+1)*beam-1 are image i
+        im_k = jnp.repeat(im_embed, beam, axis=0)
+        fm_k = jnp.repeat(fmaps, beam, axis=0)
         inputs, targets, m = process_captions(hypo_ids)
         logits, alignments = teacher_forced(
             params["decoder"], spec.decoder, inputs, im_k, fm_k,
@@ -308,16 +310,36 @@ def _finish_step(pending, state, train_step, scorer, config, vocab, width,
 
     Multi-host (SURVEY §7 step 8): each host pulls only ITS addressable
     shard of the decoded ids (`local_batch`), scores rewards for its images
-    against its own references, and contributes its rows back as a
+    against ITS slice of the references (the pipeline is not
+    process-sharded, so every host holds the full batch's refs and slices
+    by its contiguous device-row block), and contributes its rows back as a
     batch-sharded global array (`global_batch`) — no cross-host caption
-    traffic. Single-host these helpers are identity.
+    traffic. The scorer works beam-major (reference layout,
+    model_base.py:286-288); rows are reordered IMAGE-major before the train
+    step so per-host blocks stay contiguous (see make_scst_train_step).
+    Single-host the gather helpers are identity.
     """
+    import jax as _jax
+
     from ..parallel.mesh import global_batch, local_batch
 
     (greedy_ids, beam_ids, im_embed, fmaps), refs = pending
+    n_proc = _jax.process_count()
+    if n_proc > 1:
+        # contiguous per-host row block of the global batch
+        n_local = len(refs) // n_proc
+        lo = _jax.process_index() * n_local
+        refs = refs[lo: lo + n_local]
     hypo_ids, rewards, score_metrics = score_and_encode(
         scorer, config, vocab, refs, local_batch(greedy_ids),
         local_batch(beam_ids, axis=1), width)
+    # scorer output is beam-major (row k*B + i); train step wants
+    # image-major (row i*K + k)
+    beam = int(config.scst_beam_size)
+    b_local = hypo_ids.shape[0] // beam
+    hypo_ids = hypo_ids.reshape(beam, b_local, -1).transpose(1, 0, 2) \
+        .reshape(beam * b_local, -1)
+    rewards = rewards.reshape(beam, b_local).T.reshape(-1)
     if mesh is not None:
         hypo_ids = global_batch(mesh, hypo_ids)
         rewards = global_batch(mesh, rewards)

@@ -86,13 +86,10 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
     def _scope_norms(tree, prefix):
         # per-top-scope global norms, the lean equivalent of the reference's
         # per-variable histograms (train_fn.py:95-106)
-        return {f"{prefix}_norm/{k}": optax_global_norm(v)
-                for k, v in tree.items()}
+        import optax
 
-    def optax_global_norm(tree):
-        leaves = jax.tree_util.tree_leaves(tree)
-        return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
-                            for x in leaves))
+        return {f"{prefix}_norm/{k}": optax.global_norm(v)
+                for k, v in tree.items()}
 
     def train_step(state: TrainState, images_u8, captions, rng):
         (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -66,6 +66,47 @@ class TestScstUnits:
         np.testing.assert_array_equal(hypo_ids[0], [4, 0, 1, 2, 5, -1])
 
 
+class TestFinishStepPairing:
+    def test_hypotheses_reach_train_step_image_major(self):
+        """Regression: the scorer works beam-major (row k*B + i) but the
+        train step repeats encoder outputs IMAGE-major (row i*K + k); the
+        reorder in _finish_step must pair hypothesis (image i, beam k) with
+        image i's encoder row."""
+        from comic_tpu.training.scst import _finish_step
+
+        wtoi = {"<PAD>": -1, "a": 0, "cat": 1, "sat": 2, "<UNK>": 3,
+                "<GO>": 4, "<EOS>": 5}
+        v = Vocabulary(wtoi)
+        c = Config(token_type="word", scst_beam_size=2)
+        scorer = CaptionScorer(None, {"ciderD": 1.0})
+        refs = [["a cat sat"], ["a cat"]]
+        greedy = np.asarray([[0, 1, 5], [0, 5, -1]])
+        # beam-major decoded ids: beam k, image i
+        beam = np.asarray([
+            [[0, 1, 2, 5], [0, 1, 5, -1]],   # beam 0: im0="a cat sat", im1="a cat"
+            [[2, 2, 5, -1], [1, 5, -1, -1]],  # beam 1: im0="sat sat",   im1="cat"
+        ])
+        captured = {}
+
+        def fake_train_step(state, im_embed, fmaps, hypo_ids, rewards, rng):
+            captured["hypo"] = np.asarray(hypo_ids)
+            captured["rewards"] = np.asarray(rewards)
+            return state, {"total_loss": jnp.float32(0)}
+
+        pending = ((greedy, beam, jnp.zeros((2, 4)), jnp.zeros((2, 3, 4))),
+                   refs)
+        _finish_step(pending, None, fake_train_step, scorer, c, v, 6,
+                     jax.random.PRNGKey(0), None, 0, None)
+        hypo = captured["hypo"]
+        # image-major: rows 0,1 are image 0's beams; rows 2,3 image 1's
+        np.testing.assert_array_equal(hypo[0], [4, 0, 1, 2, 5, -1])  # im0 b0
+        np.testing.assert_array_equal(hypo[1], [4, 2, 2, 5, -1, -1])  # im0 b1
+        np.testing.assert_array_equal(hypo[2], [4, 0, 1, 5, -1, -1])  # im1 b0
+        np.testing.assert_array_equal(hypo[3], [4, 1, 5, -1, -1, -1])  # im1 b1
+        # im0 beam0 is the exact reference -> best reward among im0's rows
+        assert captured["rewards"][0] > captured["rewards"][1]
+
+
 @pytest.mark.slow
 class TestScstEndToEnd:
     def test_rollout_and_train_step(self, tmp_path):
