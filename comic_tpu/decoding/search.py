@@ -71,13 +71,14 @@ def _prepare_memory(params: Params, spec: ModelSpec, images: jnp.ndarray
 def greedy_or_sample(
     params: Params, spec: ModelSpec, images: jnp.ndarray, *,
     max_steps: int, sample: bool = False,
-    rng: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None, collect_alignments: bool = True,
 ) -> DecodeOutput:
     """Greedy argmax decode, or multinomial sampling when `sample`."""
     im_embed, memory = _prepare_memory(params, spec, images)
     return greedy_or_sample_from_memory(
         params["decoder"], spec, im_embed, memory,
-        max_steps=max_steps, sample=sample, rng=rng)
+        max_steps=max_steps, sample=sample, rng=rng,
+        collect_alignments=collect_alignments)
 
 
 def greedy_or_sample_from_memory(

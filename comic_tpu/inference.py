@@ -54,13 +54,18 @@ def infer_dir_name(config: Config) -> str:
             f"_lpen_{lpen}")
 
 
-def make_serve_fn(spec, config: Config, steps: int, mesh=None):
+def make_serve_fn(spec, config: Config, steps: int, mesh=None,
+                  collect_alignments: bool = True):
     """Build the jitted serving fn: (params, images_u8) -> (ids, alignments).
 
     With a mesh, the image batch is declared batch-sharded and params
     replicated via `in_shardings`, so jit performs the sharded async
     host->device transfer itself (never `device_put` in the serving loop —
     see CLAUDE.md) and the decode runs data-parallel over all devices.
+
+    With collect_alignments=False the attention-map history (the largest
+    decode output: (B, H, T, L) f32) is neither stacked per step nor
+    backtracked — use when the caller won't pickle attention maps.
     """
     h, w = config.cnn_input_size
     beam = int(config.infer_beam_size)
@@ -72,9 +77,13 @@ def make_serve_fn(spec, config: Config, steps: int, mesh=None):
                             False)
         if beam > 1:
             top, _ = beam_search(params, spec, images, beam_size=beam,
-                                 max_steps=steps, length_penalty=lpen)
+                                 max_steps=steps, length_penalty=lpen,
+                                 collect_alignments=collect_alignments)
         else:
-            top = greedy_or_sample(params, spec, images, max_steps=steps)
+            top = greedy_or_sample(params, spec, images, max_steps=steps,
+                                   collect_alignments=collect_alignments)
+        if not collect_alignments:
+            return top.ids, None  # skip the zero placeholder entirely
         return top.ids, top.alignments
 
     if mesh is not None:
@@ -109,7 +118,8 @@ def run_inference(config: Config, ckpt_path: str,
 
         serve = make_serve_fn(spec, config, steps,
                               mesh=make_mesh_for_batch(
-                                  config.batch_size_infer))
+                                  config.batch_size_infer),
+                              collect_alignments=save_attention)
 
     ckpt_name = os.path.basename(ckpt_path).replace(".msgpack", "")
     save_dir = pjoin(config.log_path, infer_dir_name(config))
@@ -199,7 +209,8 @@ def sweep_checkpoints(config: Config,
     vocab = Vocabulary.from_str_itow(config.wtoi, config.itow)
     spec = build_model_spec(config, vocab)
     serve = make_serve_fn(spec, config, max_decode_steps(config, vocab),
-                          mesh=make_mesh_for_batch(config.batch_size_infer))
+                          mesh=make_mesh_for_batch(config.batch_size_infer),
+                          collect_alignments=False)  # sweep never pickles maps
     pipe = InferencePipeline(config)
     results = {}
     for name in names:
