@@ -9,6 +9,9 @@ ImageNet checkpoints convert mechanically.
 
 slim-v1 semantics preserved:
   - the root is a 7x7/2 conv + BN + relu and a SAME 3x3/2 max pool;
+  - stride-2 convs use slim's ``conv2d_same`` fixed padding (explicit
+    (k-1)//2 both-sides pad + VALID, resnet_utils.py:77-122) — NOT plain
+    'SAME', which pads differently on even inputs;
   - each bottleneck is 1x1 -> 3x3(stride) -> 1x1 with BN after every conv,
     relu on the first two, and relu(residual + shortcut) at the end;
   - the subsampling stride sits on the LAST unit of each block (slim
@@ -58,12 +61,23 @@ def _conv_init(key, k, cin, cout):
     }
 
 
-def _conv_bn(p, x, stride, dtype=None, relu=True, padding="SAME"):
+def _same_pad(k: int, stride: int):
+    """slim's ``conv2d_same`` padding (resnet_utils.py:77-122): for stride>1
+    it pads a FIXED (k-1)//2 / (k-1)-(k-1)//2 then convolves VALID, which
+    differs from TF 'SAME' on even-sized inputs (SAME would pad k-stride
+    total). Stride 1 is plain SAME."""
+    if stride == 1:
+        return "SAME"
+    lo = (k - 1) // 2
+    return [(lo, k - 1 - lo)] * 2
+
+
+def _conv_bn(p, x, stride, dtype=None, relu=True):
     w = p["weights"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
     y = jax.lax.conv_general_dilated(
-        x, w, (stride, stride), padding,
+        x, w, (stride, stride), _same_pad(w.shape[0], stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
     bn = p["BatchNorm"]
     inv = jax.lax.rsqrt(bn["moving_variance"] + BN_EPS) * bn["gamma"]

@@ -17,7 +17,8 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from .resnet import RESNET_V1_UNITS, _BLOCK_DEPTHS, BN_EPS, _conv_init
+from .resnet import (RESNET_V1_UNITS, _BLOCK_DEPTHS, BN_EPS, _conv_init,
+                     _same_pad)
 
 Params = Dict[str, Any]
 
@@ -43,7 +44,7 @@ def _conv(w, x, stride, dtype=None, bias=None):
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
     y = jax.lax.conv_general_dilated(
-        x, w, (stride, stride), "SAME",
+        x, w, (stride, stride), _same_pad(w.shape[0], stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
     if bias is not None:
         y = y + bias

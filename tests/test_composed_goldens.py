@@ -1,0 +1,389 @@
+"""Composed-network TF goldens for the non-inception-v1 encoder families.
+
+Each test rebuilds a multi-layer slice of one of our encoders from raw
+tf.nn ops using OUR randomized weights and checks the jax apply() matches
+end to end. This goes beyond the per-op goldens (tests/test_inception.py)
+and the shape/param-count tests (tests/test_encoders.py): it pins the
+SAME/VALID padding chains, slim's ``conv2d_same`` fixed padding
+(reference resnet_utils.py:77-122), pool placement/count semantics,
+depthwise kernel layout, residual wiring, and branch concat order —
+the exact places where a converted slim ImageNet checkpoint would
+silently produce wrong features.
+
+All BN statistics and weights are randomized so an identity-BN bug can't
+hide. Skipped when tensorflow is unavailable.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from comic_tpu.models import (inception_resnet_v2 as irv2, inception_v2 as
+                              iv2, inception_v3 as iv3, inception_v4 as
+                              iv4, mobilenet_v1 as mnv1, mobilenet_v2 as
+                              mnv2, resnet as rv1, resnet_v2 as rv2,
+                              vgg)
+
+tf = pytest.importorskip("tensorflow")
+
+
+def _randomize(params, rng):
+    """Random weights + NON-identity BN stats for every leaf."""
+
+    def f(path, leaf):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        if name == "moving_variance":
+            return jnp.asarray(rng.uniform(0.5, 2.0, leaf.shape), jnp.float32)
+        if name in ("moving_mean", "beta", "gamma", "biases"):
+            return jnp.asarray(rng.normal(0.0, 0.5, leaf.shape), jnp.float32)
+        return jnp.asarray(rng.normal(0.0, 0.15, leaf.shape), jnp.float32)
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def _np(tree):
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), tree)
+
+
+def _bn(p, y, eps):
+    bn = p["BatchNorm"]
+    gamma = bn.get("gamma", np.float32(1.0))
+    return ((y - bn["moving_mean"])
+            / np.sqrt(bn["moving_variance"] + eps) * gamma + bn["beta"])
+
+
+def _conv_same(p, y, k, stride, eps, relu=True):
+    """slim conv2d_same twin: fixed (k-1)//2 pad + VALID when strided."""
+    if stride > 1:
+        lo = (k - 1) // 2
+        y = tf.pad(y, [[0, 0], [lo, k - 1 - lo], [lo, k - 1 - lo], [0, 0]])
+        y = tf.nn.conv2d(y, p["weights"], strides=stride, padding="VALID")
+    else:
+        y = tf.nn.conv2d(y, p["weights"], strides=1, padding="SAME")
+    y = _bn(p, y, eps)
+    return tf.nn.relu(y) if relu else y
+
+
+class TestResnetV1Golden:
+    def test_root_and_block1_matches_tf(self, rng):
+        """conv2d_same root (pad 3,3 — NOT plain SAME on the even input),
+        SAME pool1, three bottlenecks incl. the stride-2 last unit whose
+        conv2 uses conv2d_same pad (1,1)."""
+        p = _randomize(rv1.init_params(jax.random.PRNGKey(0),
+                                       "resnet_v1_50"), rng)
+        x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+        pn = _np(p)
+        eps = rv1.BN_EPS
+
+        def bottleneck(u, y, stride):
+            if "shortcut" in u:
+                sc = tf.nn.conv2d(y, u["shortcut"]["weights"],
+                                  strides=stride, padding="SAME")
+                sc = _bn(u["shortcut"], sc, eps)
+            elif stride > 1:
+                sc = y[:, ::stride, ::stride, :]
+            else:
+                sc = y
+            r = tf.nn.relu(_bn(u["conv1"], tf.nn.conv2d(
+                y, u["conv1"]["weights"], strides=1, padding="SAME"), eps))
+            r = _conv_same(u["conv2"], r, 3, stride, eps)
+            r = _bn(u["conv3"], tf.nn.conv2d(
+                r, u["conv3"]["weights"], strides=1, padding="SAME"), eps)
+            return tf.nn.relu(sc + r)
+
+        y = _conv_same(pn["conv1"], x, 7, 2, eps)
+        y = tf.nn.max_pool2d(y, 3, 2, "SAME")
+        for ui in (1, 2, 3):
+            y = bottleneck(pn["block1"][f"unit_{ui}"]["bottleneck_v1"], y,
+                           2 if ui == 3 else 1)
+        want = y.numpy()
+
+        _, ep = rv1.apply(p, jnp.asarray(x), "resnet_v1_50",
+                          final_endpoint="block1")
+        np.testing.assert_allclose(np.asarray(ep["block1"]), want,
+                                   rtol=2e-4, atol=1e-4)
+
+
+class TestResnetV2Golden:
+    def test_root_and_block1_matches_tf(self, rng):
+        """Preact bottlenecks: biased unnormalized root, shortcut taken
+        from the PREACTIVATED tensor, biased conv3, stride-2 conv2 via
+        conv2d_same."""
+        p = _randomize(rv2.init_params(jax.random.PRNGKey(1),
+                                       "resnet_v2_50"), rng)
+        x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+        pn = _np(p)
+        eps = rv2.BN_EPS
+
+        def bn_relu(bn, y):
+            return tf.nn.relu((y - bn["moving_mean"])
+                              / np.sqrt(bn["moving_variance"] + eps)
+                              * bn["gamma"] + bn["beta"])
+
+        def unit(u, y, stride):
+            pre = bn_relu(u["preact"], y)
+            if "shortcut" in u:
+                sc = tf.nn.conv2d(pre, u["shortcut"]["weights"],
+                                  strides=stride, padding="SAME")
+                sc = sc + u["shortcut"]["biases"]
+            elif stride > 1:
+                sc = y[:, ::stride, ::stride, :]
+            else:
+                sc = y
+            r = tf.nn.relu(_bn(u["conv1"], tf.nn.conv2d(
+                pre, u["conv1"]["weights"], strides=1, padding="SAME"), eps))
+            r = _conv_same(u["conv2"], r, 3, stride, eps)
+            r = tf.nn.conv2d(r, u["conv3"]["weights"], strides=1,
+                             padding="SAME") + u["conv3"]["biases"]
+            return sc + r
+
+        lo = 3  # conv2d_same pad for k=7
+        y = tf.pad(x, [[0, 0], [lo, lo], [lo, lo], [0, 0]])
+        y = tf.nn.conv2d(y, pn["conv1"]["weights"], strides=2,
+                         padding="VALID") + pn["conv1"]["biases"]
+        y = tf.nn.max_pool2d(y, 3, 2, "SAME")
+        for ui in (1, 2, 3):
+            y = unit(pn["block1"][f"unit_{ui}"]["bottleneck_v2"], y,
+                     2 if ui == 3 else 1)
+        want = y.numpy()
+
+        _, ep = rv2.apply(p, jnp.asarray(x), "resnet_v2_50",
+                          final_endpoint="block1")
+        np.testing.assert_allclose(np.asarray(ep["block1"]), want,
+                                   rtol=2e-4, atol=1e-4)
+
+
+class TestVggGolden:
+    def test_blocks_1_2_match_tf(self, rng):
+        p = _randomize(vgg.init_params(jax.random.PRNGKey(2), "vgg_16"), rng)
+        x = rng.normal(size=(1, 48, 48, 3)).astype(np.float32)
+        pn = _np(p)
+
+        def conv(pp, y):
+            return tf.nn.relu(tf.nn.conv2d(y, pp["weights"], strides=1,
+                                           padding="SAME") + pp["biases"])
+
+        y = conv(pn["conv1"]["conv1_1"], x)
+        y = conv(pn["conv1"]["conv1_2"], y)
+        y = tf.nn.max_pool2d(y, 2, 2, "VALID")
+        y = conv(pn["conv2"]["conv2_1"], y)
+        y = conv(pn["conv2"]["conv2_2"], y)
+        want = y.numpy()
+
+        _, ep = vgg.apply(p, jnp.asarray(x), "vgg_16",
+                          final_endpoint="conv2_2")
+        np.testing.assert_allclose(np.asarray(ep["conv2_2"]), want,
+                                   rtol=2e-4, atol=1e-4)
+
+
+class TestMobilenetV1Golden:
+    def test_through_block4_matches_tf(self, rng):
+        """Depthwise kernels feed tf.nn.depthwise_conv2d in slim's native
+        (H, W, C, 1) layout — pins our transpose+feature_group_count
+        mapping. Covers the stride-2 blocks 2 and 4."""
+        p = _randomize(mnv1.init_params(jax.random.PRNGKey(3)), rng)
+        x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+        pn = _np(p)
+        eps = mnv1.BN_EPS
+
+        def bn_relu6(pp, y):
+            return tf.nn.relu6(_bn(pp, y, eps))
+
+        strides = {1: 1, 2: 2, 3: 1, 4: 2}
+        y = bn_relu6(pn["Conv2d_0"], tf.nn.conv2d(
+            x, pn["Conv2d_0"]["weights"], strides=2, padding="SAME"))
+        for i in (1, 2, 3, 4):
+            dw = pn[f"Conv2d_{i}_depthwise"]
+            y = bn_relu6(dw, tf.nn.depthwise_conv2d(
+                y, dw["depthwise_weights"],
+                strides=[1, strides[i], strides[i], 1], padding="SAME"))
+            pw = pn[f"Conv2d_{i}_pointwise"]
+            y = bn_relu6(pw, tf.nn.conv2d(y, pw["weights"], strides=1,
+                                          padding="SAME"))
+        want = y.numpy()
+
+        _, ep = mnv1.apply(p, jnp.asarray(x),
+                           final_endpoint="Conv2d_4_pointwise")
+        np.testing.assert_allclose(np.asarray(ep["Conv2d_4_pointwise"]),
+                                   want, rtol=2e-4, atol=1e-4)
+
+
+class TestMobilenetV2Golden:
+    def test_through_expanded_conv_2_matches_tf(self, rng):
+        """Covers the t=1 first block (no expand), a stride-2 expanded
+        block, and a residual-add block."""
+        p = _randomize(mnv2.init_params(jax.random.PRNGKey(4)), rng)
+        x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+        pn = _np(p)
+        eps = mnv2.BN_EPS
+
+        def cbn(pp, y, stride, relu6=True):
+            y = _bn(pp, tf.nn.conv2d(y, pp["weights"], strides=stride,
+                                     padding="SAME"), eps)
+            return tf.nn.relu6(y) if relu6 else y
+
+        def dwbn(pp, y, stride):
+            y = _bn(pp, tf.nn.depthwise_conv2d(
+                y, pp["depthwise_weights"], strides=[1, stride, stride, 1],
+                padding="SAME"), eps)
+            return tf.nn.relu6(y)
+
+        y = cbn(pn["Conv"], x, 2)
+        # expanded_conv: t=1, no expand, stride 1, no residual (16 != 32)
+        b = pn["expanded_conv"]
+        y = cbn(b["project"], dwbn(b["depthwise"], y, 1), 1, relu6=False)
+        # expanded_conv_1: t=6, stride 2
+        b = pn["expanded_conv_1"]
+        y = cbn(b["project"], dwbn(b["depthwise"], cbn(b["expand"], y, 1),
+                                   2), 1, relu6=False)
+        # expanded_conv_2: t=6, stride 1, residual add (24 == 24)
+        b = pn["expanded_conv_2"]
+        y = y + cbn(b["project"],
+                    dwbn(b["depthwise"], cbn(b["expand"], y, 1), 1),
+                    1, relu6=False)
+        want = y.numpy()
+
+        _, ep = mnv2.apply(p, jnp.asarray(x),
+                           final_endpoint="expanded_conv_2")
+        np.testing.assert_allclose(np.asarray(ep["expanded_conv_2"]), want,
+                                   rtol=2e-4, atol=1e-4)
+
+
+class TestInceptionV3Golden:
+    def test_stem_and_mixed_5b_match_tf(self, rng):
+        """VALID stem chain + the first SAME inception block, including
+        the count-corrected SAME average pool (tf.nn.avg_pool2d excludes
+        padding from the divisor, as does slim)."""
+        p = _randomize(iv3.init_params(jax.random.PRNGKey(5)), rng)
+        x = rng.normal(size=(1, 96, 96, 3)).astype(np.float32)
+        pn = _np(p)
+        eps = iv3.BN_EPS
+
+        def conv(pp, y, stride, padding):
+            return tf.nn.relu(_bn(pp, tf.nn.conv2d(
+                y, pp["weights"], strides=stride, padding=padding), eps))
+
+        y = conv(pn["Conv2d_1a_3x3"], x, 2, "VALID")
+        y = conv(pn["Conv2d_2a_3x3"], y, 1, "VALID")
+        y = conv(pn["Conv2d_2b_3x3"], y, 1, "SAME")
+        y = tf.nn.max_pool2d(y, 3, 2, "VALID")
+        y = conv(pn["Conv2d_3b_1x1"], y, 1, "VALID")
+        y = conv(pn["Conv2d_4a_3x3"], y, 1, "VALID")
+        y = tf.nn.max_pool2d(y, 3, 2, "VALID")
+        m = pn["Mixed_5b"]
+        b0 = conv(m["Branch_0"]["Conv2d_0a_1x1"], y, 1, "SAME")
+        b1 = conv(m["Branch_1"]["Conv2d_0a_1x1"], y, 1, "SAME")
+        b1 = conv(m["Branch_1"]["Conv2d_0b_5x5"], b1, 1, "SAME")
+        b2 = conv(m["Branch_2"]["Conv2d_0a_1x1"], y, 1, "SAME")
+        b2 = conv(m["Branch_2"]["Conv2d_0b_3x3"], b2, 1, "SAME")
+        b2 = conv(m["Branch_2"]["Conv2d_0c_3x3"], b2, 1, "SAME")
+        b3 = tf.nn.avg_pool2d(y, 3, 1, "SAME")
+        b3 = conv(m["Branch_3"]["Conv2d_0b_1x1"], b3, 1, "SAME")
+        want = tf.concat([b0, b1, b2, b3], axis=3).numpy()
+
+        _, ep = iv3.apply(p, jnp.asarray(x), final_endpoint="Mixed_5b")
+        # 9 randomized conv+BN layers deep: activations reach ~370, so
+        # accumulated fp reassociation error needs a scaled tolerance
+        np.testing.assert_allclose(np.asarray(ep["Mixed_5b"]), want,
+                                   rtol=1e-3, atol=2e-3)
+
+
+class TestInceptionV2Golden:
+    def test_separable_stem_and_mixed_3b_match_tf(self, rng):
+        """The 7x7/2 separable stem runs through tf.nn.separable_conv2d
+        with slim's native (H, W, Cin, mult) depthwise layout — pins our
+        grouped-conv kernel mapping and the c*M+m channel interleave."""
+        p = _randomize(iv2.init_params(jax.random.PRNGKey(7)), rng)
+        x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+        pn = _np(p)
+        eps = iv2.BN_EPS
+
+        def conv(pp, y, stride=1):
+            return tf.nn.relu(_bn(pp, tf.nn.conv2d(
+                y, pp["weights"], strides=stride, padding="SAME"), eps))
+
+        stem = pn["Conv2d_1a_7x7"]
+        y = tf.nn.separable_conv2d(x, stem["depthwise_weights"],
+                                   stem["pointwise_weights"],
+                                   strides=[1, 2, 2, 1], padding="SAME")
+        y = tf.nn.relu(_bn(stem, y, eps))
+        y = tf.nn.max_pool2d(y, 3, 2, "SAME")
+        y = conv(pn["Conv2d_2b_1x1"], y)
+        y = conv(pn["Conv2d_2c_3x3"], y)
+        y = tf.nn.max_pool2d(y, 3, 2, "SAME")
+        m = pn["Mixed_3b"]
+        b0 = conv(m["Branch_0"]["Conv2d_0a_1x1"], y)
+        b1 = conv(m["Branch_1"]["Conv2d_0a_1x1"], y)
+        b1 = conv(m["Branch_1"]["Conv2d_0b_3x3"], b1)
+        b2 = conv(m["Branch_2"]["Conv2d_0a_1x1"], y)
+        b2 = conv(m["Branch_2"]["Conv2d_0b_3x3"], b2)
+        b2 = conv(m["Branch_2"]["Conv2d_0c_3x3"], b2)
+        b3 = tf.nn.avg_pool2d(y, 3, 1, "SAME")
+        b3 = conv(m["Branch_3"]["Conv2d_0b_1x1"], b3)
+        want = tf.concat([b0, b1, b2, b3], axis=3).numpy()
+
+        _, ep = iv2.apply(p, jnp.asarray(x), final_endpoint="Mixed_3b")
+        np.testing.assert_allclose(np.asarray(ep["Mixed_3b"]), want,
+                                   rtol=1e-3, atol=2e-3)
+
+
+class TestInceptionV4Golden:
+    def test_stem_through_mixed_4a_matches_tf(self, rng):
+        """VALID stem + the Mixed_3a pool/conv reduction + Mixed_4a's
+        asymmetric 1x7/7x1 chain ending in a VALID 3x3."""
+        p = _randomize(iv4.init_params(jax.random.PRNGKey(8)), rng)
+        x = rng.normal(size=(1, 96, 96, 3)).astype(np.float32)
+        pn = _np(p)
+        eps = iv3.BN_EPS  # v4 reuses v3's conv+BN primitive
+
+        def conv(pp, y, stride, padding):
+            return tf.nn.relu(_bn(pp, tf.nn.conv2d(
+                y, pp["weights"], strides=stride, padding=padding), eps))
+
+        y = conv(pn["Conv2d_1a_3x3"], x, 2, "VALID")
+        y = conv(pn["Conv2d_2a_3x3"], y, 1, "VALID")
+        y = conv(pn["Conv2d_2b_3x3"], y, 1, "SAME")
+        m3 = pn["Mixed_3a"]
+        y = tf.concat([tf.nn.max_pool2d(y, 3, 2, "VALID"),
+                       conv(m3["Branch_1"]["Conv2d_0a_3x3"], y, 2,
+                            "VALID")], axis=3)
+        m4 = pn["Mixed_4a"]
+        b0 = conv(m4["Branch_0"]["Conv2d_0a_1x1"], y, 1, "SAME")
+        b0 = conv(m4["Branch_0"]["Conv2d_1a_3x3"], b0, 1, "VALID")
+        b1 = conv(m4["Branch_1"]["Conv2d_0a_1x1"], y, 1, "SAME")
+        b1 = conv(m4["Branch_1"]["Conv2d_0b_1x7"], b1, 1, "SAME")
+        b1 = conv(m4["Branch_1"]["Conv2d_0c_7x1"], b1, 1, "SAME")
+        b1 = conv(m4["Branch_1"]["Conv2d_1a_3x3"], b1, 1, "VALID")
+        want = tf.concat([b0, b1], axis=3).numpy()
+
+        _, ep = iv4.apply(p, jnp.asarray(x), final_endpoint="Mixed_4a")
+        np.testing.assert_allclose(np.asarray(ep["Mixed_4a"]), want,
+                                   rtol=1e-3, atol=2e-3)
+
+
+class TestInceptionResnetV2Golden:
+    def test_stem_matches_tf(self, rng):
+        p = _randomize(irv2.init_params(jax.random.PRNGKey(6)), rng)
+        x = rng.normal(size=(1, 96, 96, 3)).astype(np.float32)
+        pn = _np(p)
+        eps = irv2.BN_EPS
+
+        def conv(pp, y, stride, padding):
+            return tf.nn.relu(_bn(pp, tf.nn.conv2d(
+                y, pp["weights"], strides=stride, padding=padding), eps))
+
+        y = conv(pn["Conv2d_1a_3x3"], x, 2, "VALID")
+        y = conv(pn["Conv2d_2a_3x3"], y, 1, "VALID")
+        y = conv(pn["Conv2d_2b_3x3"], y, 1, "SAME")
+        y = tf.nn.max_pool2d(y, 3, 2, "VALID")
+        y = conv(pn["Conv2d_3b_1x1"], y, 1, "VALID")
+        y = conv(pn["Conv2d_4a_3x3"], y, 1, "VALID")
+        y = tf.nn.max_pool2d(y, 3, 2, "VALID")
+        want = y.numpy()
+
+        _, ep = irv2.apply(p, jnp.asarray(x),
+                           final_endpoint="MaxPool_5a_3x3")
+        np.testing.assert_allclose(np.asarray(ep["MaxPool_5a_3x3"]), want,
+                                   rtol=2e-4, atol=1e-4)
