@@ -88,6 +88,7 @@ _DEFAULTS: Dict[str, Any] = dict(
     checkpoint_exclude_scopes="",
     resume_training=False,
     max_saves=12,
+    checkpoint_backend="msgpack",  # or "orbax" (tensorstore dirs, async)
     num_logs_per_epoch=100,
     add_image_summaries=True,
     add_vars_summaries=False,

@@ -11,7 +11,13 @@ Mirrors the reference's checkpoint contract (SURVEY.md §5; train_fn.py:66-70,
   - 3-way restore: full resume / model-only (minus excluded scopes) /
     CNN-only into the encoder subtree.
 
-Serialization is flax msgpack (single file per checkpoint, atomic rename).
+Serialization is flax msgpack (single file per checkpoint, atomic rename)
+by default; an opt-in Orbax backend (``config.checkpoint_backend='orbax'``,
+SURVEY.md §5 "TPU equivalent: Orbax with an explicit params/opt-state
+split") writes ``model-<step>.orbax/`` tensorstore directories instead —
+the layout that scales to multi-host sharded state. Both backends share
+the naming/retention/natural-sort contract; the loaders dispatch on the
+artifact found on disk, so runs can switch backends mid-experiment.
 """
 
 from __future__ import annotations
@@ -32,6 +38,7 @@ Params = Dict[str, Any]
 FULL_PREFIX = "model-"
 COMPACT_PREFIX = "model_compact-"
 _SUFFIX = ".msgpack"
+_ORBAX_SUFFIX = ".orbax"
 
 
 def _to_numpy(tree):
@@ -46,22 +53,31 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 
 def _prune(directory: str, prefix: str, keep: int) -> None:
+    import shutil
+
     ckpts = list_checkpoints(directory, prefix)
     for p in ckpts[:-keep] if keep > 0 else []:
-        try:
-            os.remove(os.path.join(directory, p + _SUFFIX))
-        except OSError:
-            pass
+        for suffix in (_SUFFIX, _ORBAX_SUFFIX):
+            path = os.path.join(directory, p + suffix)
+            try:
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                elif os.path.exists(path):
+                    os.remove(path)
+            except OSError:
+                pass
 
 
 def list_checkpoints(directory: str, prefix: str = COMPACT_PREFIX
                      ) -> List[str]:
-    """Checkpoint basenames (no suffix), natural-sorted ascending."""
+    """Checkpoint basenames (no suffix), natural-sorted ascending.
+    Recognizes both msgpack files and orbax directories."""
     if not os.path.isdir(directory):
         return []
-    pat = re.compile(re.escape(prefix) + r"\d+" + re.escape(_SUFFIX) + r"$")
-    names = [f[: -len(_SUFFIX)] for f in os.listdir(directory)
-             if pat.match(f)]
+    pat = re.compile(re.escape(prefix) + r"\d+"
+                     + f"({re.escape(_SUFFIX)}|{re.escape(_ORBAX_SUFFIX)})$")
+    names = {f[: f.rfind(".")] for f in os.listdir(directory)
+             if pat.match(f)}
     return sorted(names, key=natural_key)
 
 
@@ -157,9 +173,83 @@ class AsyncCheckpointer:
         self._thread.join()
 
 
+def _orbax_sanitize(tree):
+    """Orbax restore templates reject numpy scalar leaves; use python ints
+    (values restore to the saved ones regardless)."""
+    return jax.tree_util.tree_map(
+        lambda x: int(x) if isinstance(x, (int, np.integer)) else x, tree)
+
+
+def _orbax_restore(path: str, template):
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(
+        os.path.abspath(path), _orbax_sanitize(template))
+
+
+class OrbaxCheckpointer:
+    """Opt-in Orbax backend (``checkpoint_backend='orbax'``): writes the
+    same dual full/compact artifacts as tensorstore directories
+    (``model-<step>.orbax/``) via orbax's own async machinery. Use for
+    multi-host / sharded state where a single msgpack file per host does
+    not compose; msgpack stays the default (CLAUDE.md).
+
+    Drop-in for AsyncCheckpointer: save()/wait()/close().
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._full = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._compact = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+
+    def save(self, directory: str, step: int, params: Params,
+             opt_state: Any = None, *, max_saves: int = 12) -> None:
+        import orbax.checkpoint as ocp
+
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        # wait for the previous pair before pruning/overwriting, then
+        # prune reserving one slot for the checkpoint about to land
+        self.wait()
+        _prune(directory, COMPACT_PREFIX, max(max_saves - 1, 1))
+        _prune(directory, FULL_PREFIX, 1)
+        compact = os.path.join(
+            directory, f"{COMPACT_PREFIX}{int(step)}{_ORBAX_SUFFIX}")
+        self._compact.save(compact, args=ocp.args.StandardSave(params),
+                           force=True)
+        state = {"params": params, "step": int(step)}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        full = os.path.join(
+            directory, f"{FULL_PREFIX}{int(step)}{_ORBAX_SUFFIX}")
+        self._full.save(full, args=ocp.args.StandardSave(state), force=True)
+
+    def wait(self) -> None:
+        self._compact.wait_until_finished()
+        self._full.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._compact.close()
+        self._full.close()
+
+
+def make_saver(backend: str = "msgpack"):
+    """Training-driver saver factory (config.checkpoint_backend)."""
+    if backend == "orbax":
+        return OrbaxCheckpointer()
+    if backend in ("msgpack", None, "none"):
+        return AsyncCheckpointer()
+    raise ValueError(f"Unknown checkpoint backend: {backend!r}")
+
+
 def load_compact(path_or_dir: str, template: Params) -> Params:
     """Load a compact checkpoint into the shape of `template`."""
     path = _resolve(path_or_dir, COMPACT_PREFIX)
+    if path.endswith(_ORBAX_SUFFIX):
+        return _orbax_restore(path, template)
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 
@@ -167,6 +257,8 @@ def load_compact(path_or_dir: str, template: Params) -> Params:
 def load_full(path_or_dir: str, template_state: Dict[str, Any]
               ) -> Dict[str, Any]:
     path = _resolve(path_or_dir, FULL_PREFIX)
+    if path.endswith(_ORBAX_SUFFIX):
+        return _orbax_restore(path, template_state)
     with open(path, "rb") as f:
         return serialization.from_bytes(template_state, f.read())
 
@@ -174,13 +266,18 @@ def load_full(path_or_dir: str, template_state: Dict[str, Any]
 def _resolve(path_or_dir: str, prefix: str) -> str:
     if os.path.isfile(path_or_dir):
         return path_or_dir
-    if os.path.isfile(path_or_dir + _SUFFIX):
-        return path_or_dir + _SUFFIX
+    if path_or_dir.endswith(_ORBAX_SUFFIX) and os.path.isdir(path_or_dir):
+        return path_or_dir
+    for suffix in (_SUFFIX, _ORBAX_SUFFIX):
+        if os.path.exists(path_or_dir + suffix):
+            return path_or_dir + suffix
     names = list_checkpoints(path_or_dir, prefix)
     if not names:
         raise FileNotFoundError(
             f"No {prefix}* checkpoints under {path_or_dir}")
-    return os.path.join(path_or_dir, names[-1] + _SUFFIX)
+    base = os.path.join(path_or_dir, names[-1])
+    return base + (_SUFFIX if os.path.exists(base + _SUFFIX)
+                   else _ORBAX_SUFFIX)
 
 
 def restore_with_excludes(params: Params, restored: Params,

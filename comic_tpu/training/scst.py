@@ -258,7 +258,8 @@ def train_fn_scst(config: Config, *,
                                       mesh=mesh)
     width = hypo_width(config, vocab)
     writer = SummaryWriter(config.log_path)
-    saver = ckpt.AsyncCheckpointer()
+    saver = ckpt.make_saver(getattr(config, "checkpoint_backend",
+                                    "msgpack"))
     save_every = max(pipe.config.split_sizes["train"]
                      // config.batch_size_train, 1)
 

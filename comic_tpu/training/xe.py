@@ -238,7 +238,8 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
                                mesh=mesh)
 
     writer = SummaryWriter(config.log_path)
-    saver = ckpt.AsyncCheckpointer()
+    saver = ckpt.make_saver(getattr(config, "checkpoint_backend",
+                                    "msgpack"))
     log_every = max(steps_per_epoch // max(config.num_logs_per_epoch, 1), 1)
     # checkpoint each epoch, or twice per epoch for huge epochs
     save_every = (steps_per_epoch if steps_per_epoch <= 5000

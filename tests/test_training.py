@@ -182,6 +182,44 @@ class TestAsyncCheckpointer:
         assert ckpt.list_checkpoints(str(tmp_path)) == ["model_compact-2"]
 
 
+class TestOrbaxBackend:
+    def test_save_load_resume_retention(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from comic_tpu.training import checkpoints as ckpt
+
+        params = {"decoder": {"w": jnp.arange(4.0)},
+                  "encoder": {"cnn": {"w": jnp.ones(3)}}}
+        opt = {"mu": jnp.full((2,), 3.0)}
+        saver = ckpt.make_saver("orbax")
+        assert isinstance(saver, ckpt.OrbaxCheckpointer)
+        d = str(tmp_path)
+        for step in (1, 2, 3):
+            saver.save(d, step, params, opt, max_saves=2)
+        saver.close()
+        # retention + shared naming contract with the msgpack backend
+        assert ckpt.list_checkpoints(d) == ["model_compact-2",
+                                            "model_compact-3"]
+        assert ckpt.list_checkpoints(d, ckpt.FULL_PREFIX) == ["model-2",
+                                                              "model-3"]
+        # loaders dispatch on the on-disk artifact
+        loaded = ckpt.load_compact(
+            d, jax.tree_util.tree_map(jnp.zeros_like, params))
+        np.testing.assert_array_equal(loaded["decoder"]["w"],
+                                      np.arange(4.0))
+        # the 3-way restore resumes from an orbax full checkpoint
+        restored, opt2, step, mode = ckpt.restore_model(
+            params, d, resume=True,
+            opt_state=jax.tree_util.tree_map(jnp.zeros_like, opt))
+        assert mode == "resume" and step == 3
+        np.testing.assert_array_equal(opt2["mu"], np.full((2,), 3.0))
+
+    def test_unknown_backend_raises(self):
+        from comic_tpu.training import checkpoints as ckpt
+
+        with pytest.raises(ValueError):
+            ckpt.make_saver("sqlite")
+
+
 class TestCheckpoints:
     def test_save_load_roundtrip(self, tmp_path):
         p = _toy_params()
