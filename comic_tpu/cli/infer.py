@@ -19,7 +19,19 @@ def create_parser() -> argparse.ArgumentParser:
         formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--infer_checkpoints_dir", type=str, required=True,
                    help="Experiment dir containing config.pkl + ckpts.")
+    p.add_argument("--infer_checkpoints", type=str, default="all",
+                   help="'all' or comma-separated checkpoint numbers "
+                        "(infer.py:37-38).")
     p.add_argument("--dataset_dir", type=str, default=None)
+    # type=bool mirrors the reference's argparse quirk (any non-empty
+    # string is truthy); pass an empty string to disable
+    p.add_argument("--run_inference", type=bool, default=True,
+                   help="Whether to generate captions (infer.py:46-47).")
+    p.add_argument("--get_metric_score", type=bool, default=True,
+                   help="Whether to compute metric scores (infer.py:49-50).")
+    p.add_argument("--save_attention_maps", type=bool, default=False,
+                   help="Pickle attention maps per run (infer.py:52-53; "
+                        "cap via config.infer_attention_max_images).")
     p.add_argument("--annotations_file", type=str, default=None,
                    help="COCO-format annotation JSON for scoring.")
     p.add_argument("--infer_set", type=str, default="test",
@@ -49,7 +61,11 @@ def main(argv=None):
     # forced eval batch for the COCO server split (manager:64-80)
     if args.infer_set == "coco_valid":
         config.batch_size_infer = 61
-    results = sweep_checkpoints(config, args.annotations_file, args.jar_dir)
+    results = sweep_checkpoints(config, args.annotations_file, args.jar_dir,
+                                checkpoints=args.infer_checkpoints,
+                                run_infer=bool(args.run_inference),
+                                get_metric_score=bool(args.get_metric_score),
+                                save_attention=bool(args.save_attention_maps))
     for name, scores in results.items():
         line = "  ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items()))
         print(f"{name}: {line}")

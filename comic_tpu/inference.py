@@ -171,19 +171,30 @@ def run_inference(config: Config, ckpt_path: str,
 
 def evaluate_model(config: Config, ckpt_path: str,
                    annotations_file: Optional[str] = None,
-                   jar_dir: str = "", serve=None, pipe=None
+                   jar_dir: str = "", serve=None, pipe=None,
+                   run_infer: bool = True, get_metric_score: bool = True,
+                   save_attention: bool = False
                    ) -> Optional[Dict[str, float]]:
     """run_inference + metric scoring + artifacts (infer_fn.py:188-292).
 
-    Skips work already done (existing caption JSON reused). Returns scores
-    (None when no annotation file is available)."""
+    Skips work already done (existing caption JSON reused). The reference's
+    `run_inference` / `get_metric_score` toggles (infer.py:46-50) select
+    which halves run. Returns scores (None when scoring is disabled or no
+    annotation file is available)."""
     ckpt_name = os.path.basename(ckpt_path).replace(".msgpack", "")
     save_dir = pjoin(config.log_path, infer_dir_name(config))
     json_path = pjoin(save_dir, f"captions___{ckpt_name}.json")
     if not os.path.exists(json_path):
-        _, json_path = run_inference(config, ckpt_path, serve=serve,
-                                     pipe=pipe)
+        if not run_infer:
+            print(f"WARNING: no caption JSON for {ckpt_name} and "
+                  "run_inference=False; skipping.")
+            return None
+        _, json_path = run_inference(config, ckpt_path,
+                                     save_attention=save_attention,
+                                     serve=serve, pipe=pipe)
 
+    if not get_metric_score:
+        return None
     if annotations_file is None:
         annotations_file = config.get("annotations_file")
     if not annotations_file or not os.path.exists(annotations_file):
@@ -197,26 +208,47 @@ def evaluate_model(config: Config, ckpt_path: str,
 
 def sweep_checkpoints(config: Config,
                       annotations_file: Optional[str] = None,
-                      jar_dir: str = "") -> Dict[str, Dict[str, float]]:
-    """Evaluate the reference's checkpoint selection: all compact ckpts,
-    last 12 when more than 20 exist (infer.py:90-97)."""
-    names = ckpt.select_eval_checkpoints(config.log_path)
+                      jar_dir: str = "",
+                      checkpoints: str = "all",
+                      run_infer: bool = True,
+                      get_metric_score: bool = True,
+                      save_attention: bool = False
+                      ) -> Dict[str, Dict[str, float]]:
+    """Evaluate the reference's checkpoint selection: all compact ckpts
+    (last 12 when more than 20 exist, infer.py:90-97), or an explicit
+    comma-separated list of checkpoint numbers (`--infer_checkpoints`,
+    infer.py:37-38,99-102)."""
+    if checkpoints and checkpoints != "all":
+        nums = [s for s in str(checkpoints).split(",") if s]
+        if not nums:
+            raise ValueError("`infer_checkpoints` must be 'all' or a "
+                             "comma-separated list of checkpoint numbers.")
+        names = [ckpt.COMPACT_PREFIX + n for n in nums]
+    else:
+        names = ckpt.select_eval_checkpoints(config.log_path)
     if not names:
         raise FileNotFoundError(
             f"No compact checkpoints under {config.log_path}")
     from .parallel.mesh import make_mesh_for_batch
 
-    vocab = Vocabulary.from_str_itow(config.wtoi, config.itow)
-    spec = build_model_spec(config, vocab)
-    serve = make_serve_fn(spec, config, max_decode_steps(config, vocab),
-                          mesh=make_mesh_for_batch(config.batch_size_infer),
-                          collect_alignments=False)  # sweep never pickles maps
-    pipe = InferencePipeline(config)
+    serve = pipe = None
+    if run_infer:
+        vocab = Vocabulary.from_str_itow(config.wtoi, config.itow)
+        spec = build_model_spec(config, vocab)
+        serve = make_serve_fn(
+            spec, config, max_decode_steps(config, vocab),
+            mesh=make_mesh_for_batch(config.batch_size_infer),
+            collect_alignments=save_attention)
+        pipe = InferencePipeline(config)
     results = {}
     for name in names:
-        path = pjoin(config.log_path, name + ".msgpack")
+        # suffixless: load_compact resolves msgpack or orbax on disk
+        path = pjoin(config.log_path, name)
         scores = evaluate_model(config, path, annotations_file, jar_dir,
-                                serve=serve, pipe=pipe)
+                                serve=serve, pipe=pipe,
+                                run_infer=run_infer,
+                                get_metric_score=get_metric_score,
+                                save_attention=save_attention)
         if scores is not None:
             results[name] = scores
     return results

@@ -85,6 +85,32 @@ class TestInferenceEndToEnd:
         assert any(f.startswith("metric_scores_detailed")
                    for f in os.listdir(save_dir))
 
+    def test_sweep_toggles_and_explicit_checkpoints(self, trained):
+        """--infer_checkpoints list + run_inference/get_metric_score
+        toggles (reference infer.py:37-50,99-102)."""
+        c, root = trained
+        config = load_config(c.log_path)
+        config.update(log_path=c.log_path, infer_set="test",
+                      batch_size_infer=2, infer_beam_size=1,
+                      infer_max_length=10)
+        from comic_tpu.training.checkpoints import list_checkpoints
+        num = list_checkpoints(c.log_path)[-1].split("-")[-1]
+        ann = os.path.join(root, "captions", "annotations_test.json")
+        # scoring disabled -> inference runs but no scores returned
+        out = sweep_checkpoints(config, annotations_file=ann,
+                                checkpoints=num, get_metric_score=False)
+        assert out == {}
+        # inference disabled -> scores still computed from existing JSON
+        out = sweep_checkpoints(config, annotations_file=ann,
+                                checkpoints=num, run_infer=False)
+        assert list(out) == [f"model_compact-{num}"]
+        # unknown checkpoint number with run_infer disabled -> skipped
+        out = sweep_checkpoints(config, annotations_file=ann,
+                                checkpoints="999999", run_infer=False)
+        assert out == {}
+        with pytest.raises(ValueError):
+            sweep_checkpoints(config, checkpoints=",")
+
 
 class TestCli:
     def test_train_cli_stage_resolution(self, tmp_path):
