@@ -166,7 +166,6 @@ def bench_scst(config, spec, params, vocab):
         hypo_width,
         make_rollout,
         make_scst_train_step,
-        scst_decode_steps,
     )
     from comic_tpu.training.xe import TrainState
 
@@ -222,7 +221,7 @@ def main():
     import jax
 
     from __graft_entry__ import _flagship
-    from comic_tpu.models.captioner import build_model_spec, init_params, \
+    from comic_tpu.models.captioner import build_model_spec, \
         max_decode_steps
 
     config, spec, params = _flagship()

@@ -79,10 +79,9 @@ def host_resize_mode(config: Config, is_training: bool) -> str:
     (preprocessing_factory.py:31-84, vgg_preprocessing.py:286-365)."""
     from ..models.encoders import get_encoder
 
-    try:
-        kind = get_encoder(config.cnn_name).preprocessing
-    except ValueError:
-        kind = "inception"
+    # an unknown cnn_name raises here (same as preprocess_for) rather than
+    # silently building a square-resize loader for a typo'd config
+    kind = get_encoder(config.cnn_name).preprocessing
     if kind != "vgg":
         return "square"
     return "aspect_train" if is_training else "aspect_eval"

@@ -54,6 +54,16 @@ def infer_dir_name(config: Config) -> str:
             f"_lpen_{lpen}")
 
 
+def _ckpt_name(ckpt_path: str) -> str:
+    """Suffixless checkpoint name for artifact keys — the same name no
+    matter which backend's path (msgpack file / orbax dir) was given."""
+    name = os.path.basename(ckpt_path.rstrip(os.sep))
+    for suffix in (".msgpack", ".orbax"):
+        if name.endswith(suffix):
+            name = name[: -len(suffix)]
+    return name
+
+
 def make_serve_fn(spec, config: Config, steps: int, mesh=None,
                   collect_alignments: bool = True):
     """Build the jitted serving fn: (params, images_u8) -> (ids, alignments).
@@ -121,7 +131,7 @@ def run_inference(config: Config, ckpt_path: str,
                                   config.batch_size_infer),
                               collect_alignments=save_attention)
 
-    ckpt_name = os.path.basename(ckpt_path).replace(".msgpack", "")
+    ckpt_name = _ckpt_name(ckpt_path)
     save_dir = pjoin(config.log_path, infer_dir_name(config))
     os.makedirs(save_dir, exist_ok=True)
 
@@ -181,7 +191,7 @@ def evaluate_model(config: Config, ckpt_path: str,
     `run_inference` / `get_metric_score` toggles (infer.py:46-50) select
     which halves run. Returns scores (None when scoring is disabled or no
     annotation file is available)."""
-    ckpt_name = os.path.basename(ckpt_path).replace(".msgpack", "")
+    ckpt_name = _ckpt_name(ckpt_path)
     save_dir = pjoin(config.log_path, infer_dir_name(config))
     json_path = pjoin(save_dir, f"captions___{ckpt_name}.json")
     if not os.path.exists(json_path):
@@ -244,11 +254,17 @@ def sweep_checkpoints(config: Config,
     for name in names:
         # suffixless: load_compact resolves msgpack or orbax on disk
         path = pjoin(config.log_path, name)
-        scores = evaluate_model(config, path, annotations_file, jar_dir,
-                                serve=serve, pipe=pipe,
-                                run_infer=run_infer,
-                                get_metric_score=get_metric_score,
-                                save_attention=save_attention)
+        try:
+            scores = evaluate_model(config, path, annotations_file, jar_dir,
+                                    serve=serve, pipe=pipe,
+                                    run_infer=run_infer,
+                                    get_metric_score=get_metric_score,
+                                    save_attention=save_attention)
+        except FileNotFoundError as e:
+            # one pruned/mistyped --infer_checkpoints number shouldn't
+            # throw away the checkpoints already evaluated
+            print(f"WARNING: skipping {name}: {e}")
+            continue
         if scores is not None:
             results[name] = scores
     return results

@@ -73,12 +73,43 @@ def local_batch(x, axis: int = 0) -> np.ndarray:
     """Host-addressable rows of a batch-sharded global array, concatenated
     in shard order along `axis` (SURVEY §7 step 8: each host scores ITS
     shard of the SCST rollout; single-host this is just the whole array).
-    `axis` matters for beam-major layouts like (beam, batch, time)."""
+    `axis` matters for beam-major layouts like (beam, batch, time).
+
+    Raises instead of returning duplicated/short rows when the array is
+    not disjointly batch-sharded along `axis` (e.g. GSPMD replicated an
+    output because the producing jit did not pin `out_shardings`)."""
     if jax.process_count() == 1:
         return np.asarray(x)
-    shards = sorted(x.addressable_shards,
-                    key=lambda s: s.index[axis].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)
+    by_start = {}
+    for s in x.addressable_shards:
+        start = s.index[axis].start
+        by_start.setdefault(0 if start is None else int(start), s)
+    starts = sorted(by_start)
+    parts = [np.asarray(by_start[k].data) for k in starts]
+    pos = starts[0]
+    for st, p in zip(starts, parts):  # contiguity of this host's block
+        if st != pos:
+            raise ValueError(
+                f"local_batch: non-contiguous shards along axis {axis} "
+                f"(expected start {pos}, got {st}); pin out_shardings="
+                "batch_sharding(mesh) on the producing jit.")
+        pos += p.shape[axis]
+    out = np.concatenate(parts, axis=axis)
+    expect = x.shape[axis] // jax.process_count()
+    if out.shape[axis] != expect:
+        raise ValueError(
+            f"local_batch: host holds {out.shape[axis]} of "
+            f"{x.shape[axis]} rows along axis {axis}, expected a disjoint "
+            f"1/{jax.process_count()} block of {expect}; the array is "
+            "probably replicated — pin out_shardings=batch_sharding(mesh) "
+            "on the producing jit.")
+    return out
+
+
+def local_batch_start(x, axis: int = 0) -> int:
+    """Global index of this host's first addressable row along `axis`."""
+    starts = [s.index[axis].start or 0 for s in x.addressable_shards]
+    return int(min(starts)) if starts else 0
 
 
 def global_batch(mesh: Mesh, x_local: np.ndarray):

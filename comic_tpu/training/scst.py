@@ -113,10 +113,18 @@ def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary,
         return greedy.ids, all_beams["ids"], im_embed, fmaps
 
     if mesh is not None:
-        from ..parallel.mesh import batch_sharding, replicated
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.jit(rollout, in_shardings=(replicated(mesh),
-                                              batch_sharding(mesh), None))
+        from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated
+
+        bsh = batch_sharding(mesh)
+        # beam_ids are beam-major (beam, batch, time): batch is axis 1.
+        # Outputs are PINNED batch-sharded so multi-host local_batch sees
+        # disjoint contiguous per-host blocks (it raises otherwise).
+        beam_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+        return jax.jit(rollout,
+                       in_shardings=(replicated(mesh), bsh, None),
+                       out_shardings=(bsh, beam_sh, bsh, bsh))
     return jax.jit(rollout)
 
 
@@ -322,7 +330,7 @@ def _finish_step(pending, state, train_step, scorer, config, vocab, width,
     """
     import jax as _jax
 
-    from ..parallel.mesh import global_batch, local_batch
+    from ..parallel.mesh import global_batch, local_batch, local_batch_start
 
     (greedy_ids, beam_ids, im_embed, fmaps), refs = pending
     n_proc = _jax.process_count()
@@ -330,6 +338,17 @@ def _finish_step(pending, state, train_step, scorer, config, vocab, width,
         # contiguous per-host row block of the global batch
         n_local = len(refs) // n_proc
         lo = _jax.process_index() * n_local
+        # the refs slice below assumes this host's device rows ARE the
+        # global block [lo, lo+n_local); verify against the real shard
+        # layout so a surprising mesh/device order fails loudly instead of
+        # scoring against the wrong images' references
+        got = local_batch_start(greedy_ids)
+        if got != lo:
+            raise ValueError(
+                f"multi-host SCST: process {_jax.process_index()} holds "
+                f"device rows starting at {got}, expected {lo}; mesh "
+                "device order does not match the process-contiguous "
+                "assumption (build the mesh from jax.devices() order).")
         refs = refs[lo: lo + n_local]
     hypo_ids, rewards, score_metrics = score_and_encode(
         scorer, config, vocab, refs, local_batch(greedy_ids),

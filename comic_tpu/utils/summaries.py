@@ -53,8 +53,10 @@ class SummaryWriter:
             import cv2
 
             cv2.imwrite(path, arr[..., ::-1])  # RGB -> BGR
-        except Exception:
-            pass
+        except ImportError:
+            from PIL import Image
+
+            Image.fromarray(arr).save(path)
         if self._tb is not None:
             with self._tb.as_default():
                 import tensorflow as tf

@@ -104,10 +104,13 @@ class TestInferenceEndToEnd:
         out = sweep_checkpoints(config, annotations_file=ann,
                                 checkpoints=num, run_infer=False)
         assert list(out) == [f"model_compact-{num}"]
-        # unknown checkpoint number with run_infer disabled -> skipped
+        # unknown checkpoint number -> warn and continue, either mode
         out = sweep_checkpoints(config, annotations_file=ann,
                                 checkpoints="999999", run_infer=False)
         assert out == {}
+        out = sweep_checkpoints(config, annotations_file=ann,
+                                checkpoints=f"999999,{num}")
+        assert list(out) == [f"model_compact-{num}"]
         with pytest.raises(ValueError):
             sweep_checkpoints(config, checkpoints=",")
 

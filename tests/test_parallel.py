@@ -201,3 +201,63 @@ def test_train_step_dp_equivalence():
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5)
     np.testing.assert_allclose(results[0][1], results[1][1],
                                rtol=1e-4, atol=1e-6)
+
+
+class _FakeShard:
+    def __init__(self, start, data, axis=0, shape=None):
+        n = data.shape[axis]
+        idx = [slice(None)] * data.ndim
+        idx[axis] = slice(start, start + n) if start is not None else \
+            slice(None)
+        self.index = tuple(idx)
+        self.data = data
+
+
+class _FakeArray:
+    def __init__(self, shape, shards):
+        self.shape = shape
+        self.addressable_shards = shards
+
+
+class TestLocalBatchGuards:
+    """local_batch must fail loudly on replicated / non-contiguous
+    layouts instead of silently duplicating rows (multi-host SCST)."""
+
+    def _patch(self, monkeypatch, n):
+        from comic_tpu.parallel import mesh as m
+
+        monkeypatch.setattr(m.jax, "process_count", lambda: n)
+        return m
+
+    def test_disjoint_contiguous_block(self, monkeypatch):
+        m = self._patch(monkeypatch, 2)
+        a = np.arange(8 * 3).reshape(8, 3).astype(np.float32)
+        arr = _FakeArray((16, 3), [_FakeShard(4, a[4:]),
+                                   _FakeShard(0, a[:4])])
+        out = m.local_batch(arr)
+        np.testing.assert_array_equal(out, a)
+        assert m.local_batch_start(arr) == 0
+
+    def test_beam_major_axis(self, monkeypatch):
+        m = self._patch(monkeypatch, 2)
+        a = np.arange(3 * 8).reshape(3, 8).astype(np.float32)
+        arr = _FakeArray((3, 16),
+                         [_FakeShard(8, a[:, 4:], axis=1),
+                          _FakeShard(12, a[:, :4], axis=1)])
+        out = m.local_batch(arr, axis=1)
+        np.testing.assert_array_equal(out, np.concatenate(
+            [a[:, 4:], a[:, :4]], axis=1))
+
+    def test_replicated_raises(self, monkeypatch):
+        m = self._patch(monkeypatch, 2)
+        a = np.zeros((16, 3), np.float32)
+        arr = _FakeArray((16, 3), [_FakeShard(None, a)])
+        with pytest.raises(ValueError, match="replicated"):
+            m.local_batch(arr)
+
+    def test_non_contiguous_raises(self, monkeypatch):
+        m = self._patch(monkeypatch, 2)
+        a = np.zeros((4, 3), np.float32)
+        arr = _FakeArray((16, 3), [_FakeShard(0, a), _FakeShard(8, a)])
+        with pytest.raises(ValueError, match="non-contiguous"):
+            m.local_batch(arr)
