@@ -98,6 +98,7 @@ _DEFAULTS: Dict[str, Any] = dict(
     # TPU-specific (no reference equivalent)
     compute_dtype="bfloat16",  # dtype for matmul/conv compute on TPU
     num_data_shards=1,  # data-parallel mesh size (1 = single chip)
+    train_steps_per_call=1,  # XE steps per host dispatch (lax.scan of K)
     # host loader: reproduce TF1 resize_bilinear (align_corners=False)
     # exactly instead of cv2 half-pixel centers (parity runs)
     host_resize_tf1=False,

@@ -48,17 +48,10 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
-                    image_size: Tuple[int, int], mesh=None):
-    """Build the fused jitted train step.
-
-    (state, images_u8, captions, rng) -> (state, metrics)
-
-    With a mesh, batch inputs are declared batch-sharded via `in_shardings`
-    so jit performs the (async) sharded host->device transfer itself —
-    calling `jax.device_put` with a NamedSharding from the host loop
-    serializes against queued device work and is ~50x slower per step.
-    """
+def _make_train_step_body(spec: ModelSpec, config: Config, optimizer, mask,
+                          image_size: Tuple[int, int]):
+    """The un-jitted fused step: (state, images_u8, captions, rng) ->
+    (state, metrics). Shared by the single-step and scan-of-K wrappers."""
     h, w = image_size
     augment = bool(config.cnn_input_augment)
     preprocess = preprocess_for(config.cnn_name)
@@ -110,6 +103,22 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
             metrics.update(_scope_norms(grads, "grads"))
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    return train_step
+
+
+def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
+                    image_size: Tuple[int, int], mesh=None):
+    """Build the fused jitted train step.
+
+    (state, images_u8, captions, rng) -> (state, metrics)
+
+    With a mesh, batch inputs are declared batch-sharded via `in_shardings`
+    so jit performs the (async) sharded host->device transfer itself —
+    calling `jax.device_put` with a NamedSharding from the host loop
+    serializes against queued device work and is ~50x slower per step.
+    """
+    train_step = _make_train_step_body(spec, config, optimizer, mask,
+                                       image_size)
     if mesh is not None:
         from ..parallel.mesh import batch_sharding
 
@@ -117,6 +126,45 @@ def make_train_step(spec: ModelSpec, config: Config, optimizer, mask,
         return jax.jit(train_step, donate_argnums=(0,),
                        in_shardings=(None, bsh, bsh, None))
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_train_multi_step(spec: ModelSpec, config: Config, optimizer, mask,
+                          image_size: Tuple[int, int],
+                          steps_per_call: int, mesh=None):
+    """K fused train steps per host dispatch via `lax.scan`
+    (config.train_steps_per_call; no reference equivalent — TF1 pays one
+    sess.run per step).
+
+    (state, images_u8 (K,B,H,W,3), captions (K,B,T), keys (K,2) uint32)
+    -> (state, metrics of the LAST step)
+
+    One host dispatch per K steps amortizes per-call dispatch/RPC overhead
+    — on the axon-tunneled v5e a dispatch floors at ~3-4 ms (CLAUDE.md),
+    comparable to the whole b32 step, so K=8 cuts measured step time
+    substantially. Stacked captions must share one padded width (the
+    driver pads across buckets; PAD rows are masked so the loss is
+    unchanged).
+    """
+    body = _make_train_step_body(spec, config, optimizer, mask, image_size)
+
+    def multi_step(state, images_k, caps_k, keys_k):
+        def scan_body(st, xs):
+            im, cap, key = xs
+            st, metrics = body(st, im, cap, key)
+            return st, metrics
+        state, ms = jax.lax.scan(scan_body, state,
+                                 (images_k, caps_k, keys_k))
+        return state, jax.tree_util.tree_map(lambda m: m[-1], ms)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        bsh1 = NamedSharding(mesh, P(None, DATA_AXIS))  # batch is axis 1
+        return jax.jit(multi_step, donate_argnums=(0,),
+                       in_shardings=(None, bsh1, bsh1, None))
+    return jax.jit(multi_step, donate_argnums=(0,))
 
 
 def make_eval_step(spec: ModelSpec, config: Config,
@@ -232,8 +280,12 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
     state = TrainState(params, opt_state,
                        jnp.asarray(start_step, jnp.int32))
 
+    spc = max(int(config.get("train_steps_per_call") or 1), 1)
     train_step = make_train_step(spec, config, optimizer, mask,
                                  tuple(config.cnn_input_size), mesh=mesh)
+    multi_step = (make_train_multi_step(
+        spec, config, optimizer, mask, tuple(config.cnn_input_size),
+        spc, mesh=mesh) if spc > 1 else None)
     eval_step = make_eval_step(spec, config, tuple(config.cnn_input_size),
                                mesh=mesh)
 
@@ -266,13 +318,32 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
             writer.image(step, "input_image", arr.astype(np.uint8))
             logged_image = True
         rng, sub = jax.random.split(rng)
-        # raw numpy in: jit shards + transfers asynchronously per
-        # in_shardings (see make_train_step)
-        state, metrics = train_step(state, images, caps, sub)
-        step += 1
-        n_since += images.shape[0]
+        prev_step = step
+        if multi_step is not None and step + spc <= max_step:
+            # collect K-1 more batches and run them all in ONE dispatch;
+            # caption buckets differ in width, so pad the stack to the
+            # widest (PAD=-1 rows are masked out of the loss)
+            ims, cps = [images], [caps]
+            for _ in range(spc - 1):
+                im2, cp2 = next(data_iter)
+                ims.append(im2)
+                cps.append(cp2)
+            width = max(c.shape[1] for c in cps)
+            cps = [np.pad(c, ((0, 0), (0, width - c.shape[1])),
+                          constant_values=-1) for c in cps]
+            keys = jax.random.split(sub, spc)
+            state, metrics = multi_step(state, np.stack(ims),
+                                        np.stack(cps), keys)
+            step += spc
+            n_since += sum(im.shape[0] for im in ims)
+        else:
+            # raw numpy in: jit shards + transfers asynchronously per
+            # in_shardings (see make_train_step)
+            state, metrics = train_step(state, images, caps, sub)
+            step += 1
+            n_since += images.shape[0]
 
-        if step % log_every == 0 or step == max_step:
+        if (step // log_every) != (prev_step // log_every) or step == max_step:
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.time() - t_last
             m["examples_per_sec"] = n_since / max(dt, 1e-9)
@@ -283,7 +354,8 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
                   f"{m['examples_per_sec']:.1f} ex/s")
             t_last, n_since = time.time(), 0
 
-        if step % save_every == 0 or step == max_step:
+        if ((step // save_every) != (prev_step // save_every)
+                or step == max_step):
             # serialization + IO happen on the saver thread; only the
             # device->host snapshot blocks the loop
             saver.save(config.log_path, step, state.params,

@@ -182,6 +182,64 @@ class TestAsyncCheckpointer:
         assert ckpt.list_checkpoints(str(tmp_path)) == ["model_compact-2"]
 
 
+class TestMultiStep:
+    def test_scan_of_k_matches_k_single_steps(self):
+        """make_train_multi_step(K) must produce the exact same state as K
+        sequential single steps fed the same batches and PRNG keys."""
+        from comic_tpu.configuration import Config
+        from comic_tpu.models.captioner import build_model_spec, init_params
+        from comic_tpu.tokenization import Vocabulary
+        from comic_tpu.training.schedule import cosine_schedule
+        from comic_tpu.training.xe import (TrainState, make_train_multi_step,
+                                           make_train_step)
+
+        wtoi = {"<PAD>": -1, "w": 0, "<UNK>": 1, "<GO>": 2, "<EOS>": 3}
+        vocab = Vocabulary(wtoi)
+        c = Config(token_type="radix", radix_base=8, rnn_size=16,
+                   rnn_word_size=8, attn_num_heads=2,
+                   compute_dtype="float32", cnn_input_size=(64, 64),
+                   dropout_rnn_in=0.0, dropout_rnn_out=0.0,
+                   attn_keep_prob=1.0, cnn_input_augment=False,
+                   freeze_scopes="encoder/cnn")
+        spec = build_model_spec(c, vocab)
+        rng = np.random.default_rng(3)
+        k = 3
+        images = rng.integers(0, 256, (k, 2, 256, 256, 3), dtype=np.uint8)
+        caps = np.full((k, 2, 6), -1, np.int32)
+        caps[:, :, 0] = 8
+        caps[:, :, 1:4] = rng.integers(0, 8, (k, 2, 3))
+        caps[:, :, 4] = 9
+        keys = jax.random.split(jax.random.PRNGKey(11), k)
+
+        def fresh_state():
+            params = init_params(jax.random.PRNGKey(0), spec)
+            opt, mask = build_optimizer(
+                params, cosine_schedule(1e-3, 1e-4, 10),
+                freeze_scopes=c.freeze_scopes)
+            return (opt, mask,
+                    TrainState(params, opt.init(params),
+                               jnp.asarray(0, jnp.int32)))
+
+        opt, mask, state = fresh_state()
+        single = make_train_step(spec, c, opt, mask, (64, 64))
+        for i in range(k):
+            state, metrics_single = single(state, images[i], caps[i],
+                                           keys[i])
+        ref_emb = np.asarray(state.params["decoder"]["embedding"])
+
+        opt, mask, state = fresh_state()
+        multi = make_train_multi_step(spec, c, opt, mask, (64, 64), k)
+        state, metrics_multi = multi(state, images, caps, keys)
+        assert int(state.step) == k
+        np.testing.assert_allclose(
+            np.asarray(state.params["decoder"]["embedding"]), ref_emb,
+            rtol=1e-6, atol=1e-8)
+        # metrics are the last scanned step's
+        np.testing.assert_allclose(float(metrics_multi["log_ppl"]),
+                                   float(metrics_single["log_ppl"]),
+                                   rtol=1e-5)
+
+
 class TestOrbaxBackend:
     def test_save_load_resume_retention(self, tmp_path):
         pytest.importorskip("orbax.checkpoint")
@@ -309,6 +367,31 @@ class TestEndToEnd:
         assert os.path.exists(tmp_path / "exp" / "config.pkl")
         assert os.path.exists(tmp_path / "exp" / "model_size.txt")
         assert os.path.exists(tmp_path / "exp" / "events.jsonl")
+
+
+@pytest.mark.slow
+class TestEndToEndMultiStep:
+    def test_smoke_train_steps_per_call(self, tmp_path):
+        """Driver path for train_steps_per_call>1: odd max_step forces the
+        scan calls AND the single-step tail; artifacts still land."""
+        root, _ = make_synthetic_dataset(
+            str(tmp_path / "data"), num_train=8, num_valid=4, num_test=4,
+            captions_per_image=1)
+        c = Config(
+            token_type="radix", radix_base=16, dataset_dir=root,
+            dataset_file_pattern="synth_{}", batch_size_train=4,
+            batch_size_eval=4, max_epoch=500, rnn_size=32, rnn_word_size=16,
+            attn_num_heads=2, compute_dtype="float32",
+            cnn_input_size=(64, 64), lr_start=3e-3, lr_end=1e-4,
+            dropout_rnn_in=0.0, dropout_rnn_out=0.0, attn_keep_prob=1.0,
+            log_path=str(tmp_path / "exp"), num_logs_per_epoch=1,
+            freeze_scopes="", rand_seed=0, train_steps_per_call=2)
+        metrics = train_fn(c, max_steps_override=5)
+        assert "log_ppl" in metrics
+        from comic_tpu.training.checkpoints import (checkpoint_step,
+                                                    list_checkpoints)
+        names = list_checkpoints(str(tmp_path / "exp"))
+        assert names and checkpoint_step(names[-1]) == 5
 
 
 class TestBnMovingStatsFrozen:
