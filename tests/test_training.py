@@ -311,6 +311,28 @@ class TestCheckpoints:
         sel = ckpt.select_eval_checkpoints(d)
         assert len(sel) == 12 and sel[-1] == "model_compact-24"
 
+    def test_masked_opt_state_roundtrip(self, tmp_path):
+        """Frozen scopes wrap adam in optax.masked — the MaskedNode-bearing
+        opt_state must survive the full-checkpoint msgpack roundtrip."""
+        params = {"encoder": {"cnn": {"w": jnp.ones((4,))}},
+                  "decoder": {"emb": jnp.full((3,), 2.0)}}
+        opt, mask = build_optimizer(params, cosine_schedule(1e-3, 1e-4, 10),
+                                    freeze_scopes="encoder/cnn")
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        st = opt.init(params)
+        _, st = opt.update(grads, st, params)
+        d = str(tmp_path)
+        ckpt.save_checkpoint(d, 3, params, st)
+        tpl = {"params": params, "step": np.int64(0),
+               "opt_state": opt.init(params)}
+        back = ckpt.load_full(d, tpl)
+        assert int(back["step"]) == 3
+        got = jax.tree_util.tree_leaves(back["opt_state"])
+        want = jax.tree_util.tree_leaves(st)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
     def test_restore_with_excludes(self):
         old = _toy_params()
         new = jax.tree_util.tree_map(lambda x: x * 2, old)
