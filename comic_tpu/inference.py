@@ -137,7 +137,10 @@ def run_inference(config: Config, ckpt_path: str,
 
     all_ids: List = []
     all_caps: List[str] = []
-    attn_store: Dict = {}
+    # reference raw-outputs pickle structure (infer_fn.py:107-151):
+    # three filename-keyed dicts; 'attention' capped by
+    # config.infer_attention_max_images (-1 = full reference output)
+    raw_outputs: Dict = {"captions": {}, "attention": {}, "image_ids": {}}
     n_done = 0
     t0 = time.time()
     for images, files in iter(pipe):
@@ -151,17 +154,17 @@ def run_inference(config: Config, ckpt_path: str,
             all_ids.append(image_id_from_path(f))
             all_caps.append(c)
         if save_attention:
-            # the reference pickles the whole run's maps (infer_fn.py:129-175);
-            # default here caps the artifact at 4 images — set
-            # config.infer_attention_max_images=-1 for full reference output
             limit = config.get("infer_attention_max_images")
-            limit = 4 if limit is None else int(limit)  # 0 = store none
-            if limit < 0 or len(attn_store) < limit:
+            limit = 4 if limit is None else int(limit)  # 0 = maps for none
+            maps = None
+            if limit < 0 or len(raw_outputs["attention"]) < limit:
                 maps = np.asarray(attn)
-                for j, f in enumerate(files):
-                    if limit >= 0 and len(attn_store) >= limit:
-                        break
-                    attn_store[f] = maps[j]
+            for j, (f, c) in enumerate(zip(files, caps)):
+                raw_outputs["captions"][f] = c
+                raw_outputs["image_ids"][f] = image_id_from_path(f)
+                if maps is not None and (
+                        limit < 0 or len(raw_outputs["attention"]) < limit):
+                    raw_outputs["attention"][f] = maps[j]
         n_done += images.shape[0]
     dt = time.time() - t0
 
@@ -173,9 +176,9 @@ def run_inference(config: Config, ckpt_path: str,
     with open(pjoin(save_dir, "infer_speed.txt"), "a") as f:
         f.write(f"{ckpt_name}: {n_done / max(dt, 1e-9):.2f} captions/sec "
                 f"({n_done} images in {dt:.1f}s)\n")
-    if save_attention and attn_store:
+    if save_attention and raw_outputs["captions"]:
         with open(pjoin(save_dir, f"outputs___{ckpt_name}.pkl"), "wb") as f:
-            pickle.dump(attn_store, f)
+            pickle.dump(raw_outputs, f, pickle.HIGHEST_PROTOCOL)
     return save_dir, json_path
 
 

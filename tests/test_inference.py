@@ -68,6 +68,15 @@ class TestInferenceEndToEnd:
         assert os.path.exists(os.path.join(save_dir, "infer_speed.txt"))
         pkls = [f for f in os.listdir(save_dir) if f.endswith(".pkl")]
         assert pkls
+        # reference raw-outputs structure (infer_fn.py:107-151)
+        import pickle
+        with open(os.path.join(save_dir, pkls[0]), "rb") as fh:
+            raw = pickle.load(fh)
+        assert set(raw) == {"captions", "attention", "image_ids"}
+        assert raw["attention"]  # default cap stores maps for 4 images
+        f0 = next(iter(raw["attention"]))
+        assert raw["attention"][f0].ndim == 3  # (heads, T, fm)
+        assert raw["captions"] and raw["image_ids"]
 
     def test_sweep_with_scoring(self, trained):
         c, root = trained
