@@ -36,7 +36,7 @@ from ..parallel.mesh import make_mesh_for_batch, replicate
 from ..tokenization import Vocabulary, build_char_vocab
 from ..utils.summaries import SummaryWriter
 from . import checkpoints as ckpt
-from .optimizer import build_optimizer, masked_l2_loss
+from .optimizer import build_optimizer, masked_l2_loss, path_string
 from .schedule import cosine_schedule, legacy_halving_schedule
 
 Params = Dict[str, Any]
@@ -167,6 +167,30 @@ def make_train_multi_step(spec: ModelSpec, config: Config, optimizer, mask,
     return jax.jit(multi_step, donate_argnums=(0,))
 
 
+def _write_model_size(log_path: str, subtree: Params, scope: str) -> None:
+    """model_size.txt in the reference's format (ops.get_model_size,
+    common/ops.py:62-91): an INFO line with the total, then one
+    'name\\r\\nshape' stanza per variable. The README's 'Decoder params'
+    column is read from this artifact."""
+    entries = []
+    total = 0
+
+    def walk(path, leaf):
+        shape = list(np.asarray(leaf).shape)
+        entries.append((path_string(path), shape))
+        return leaf
+
+    jax.tree_util.tree_map_with_path(walk, subtree)
+    total = sum(int(np.prod(s)) if s else 1 for _, s in entries)
+    mssg = (f"\r\nINFO: Scope `{scope}` contains {total:,d} trainable "
+            f"parameters.\r\n\r\n")
+    for name, shape in sorted(entries):
+        mssg += f"{scope}/{name}\r\n{shape}\r\n\r\n"
+    mssg += "\r\n\r\n"
+    with open(os.path.join(log_path, "model_size.txt"), "a") as f:
+        f.write(mssg)
+
+
 def make_eval_step(spec: ModelSpec, config: Config,
                    image_size: Tuple[int, int], mesh=None):
     """Eval-ppl step on the TRAIN mesh (params live there).
@@ -265,9 +289,7 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
     config.save(config.log_path)
     n_dec = count_params(params["decoder"])
     n_all = count_params(params)
-    with open(os.path.join(config.log_path, "model_size.txt"), "a") as f:
-        f.write(f"Decoder trainable parameters: {n_dec:,d}\r\n")
-        f.write(f"Total parameters: {n_all:,d}\r\n")
+    _write_model_size(config.log_path, params["decoder"], "decoder")
     print(f"INFO: decoder params {n_dec:,d} / total {n_all:,d}")
 
     if mesh is None:

@@ -388,6 +388,12 @@ class TestEndToEnd:
         assert list_checkpoints(str(tmp_path / "exp"))
         assert os.path.exists(tmp_path / "exp" / "config.pkl")
         assert os.path.exists(tmp_path / "exp" / "model_size.txt")
+        # reference ops.get_model_size format: INFO total + name/shape
+        # stanzas (common/ops.py:62-91)
+        txt = (tmp_path / "exp" / "model_size.txt").read_text()
+        assert "INFO: Scope `decoder` contains" in txt
+        assert "trainable parameters." in txt
+        assert "decoder/embedding" in txt
         assert os.path.exists(tmp_path / "exp" / "events.jsonl")
 
 
