@@ -82,7 +82,8 @@ def bench_serving(config, spec, params, steps, beam):
                                   False)
         top, _ = beam_search(params, spec, images, beam_size=beam,
                              max_steps=steps,
-                             length_penalty=config.infer_length_penalty_weight)
+                             length_penalty=config.infer_length_penalty_weight,
+                             collect_alignments=False)  # serving default
         return top.ids
 
     rng = np.random.default_rng(0)
