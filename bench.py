@@ -164,14 +164,15 @@ def bench_xe_step(config, spec, params, vocab):
     caps_k = jnp.asarray(np.broadcast_to(
         np.asarray(caps), (k,) + caps.shape).copy())
     keys_k = jax.random.split(key, k)
+    widths_k = jnp.full((k,), caps.shape[1], jnp.int32)
 
-    def step_k(images_k, caps_k, keys_k):
+    def step_k(images_k, caps_k, keys_k, widths_k):
         holder["state"], metrics = multi(holder["state"], images_k, caps_k,
-                                         keys_k)
+                                         keys_k, widths_k)
         return metrics["total_loss"]
 
-    ms_k = _pipelined_ms(step_k, (images_k, caps_k, keys_k), iters=10,
-                         sync=lambda o: np.asarray(o)) / k
+    ms_k = _pipelined_ms(step_k, (images_k, caps_k, keys_k, widths_k),
+                         iters=10, sync=lambda o: np.asarray(o)) / k
     print(f"xe train step (batch {batch}, scan of {k}/dispatch): "
           f"{ms_k:.2f} ms/step", file=sys.stderr)
     return ms, ms_k

@@ -44,6 +44,8 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--radix_base", type=int, default=256)
     p.add_argument("--cnn_name", type=str, default="inception_v1")
     p.add_argument("--cnn_input_size", type=str, default="224,224")
+    # type=bool flags mirror the reference's argparse quirk (train.py:25-164):
+    # ANY non-empty string is truthy — pass an empty string '' to disable
     p.add_argument("--cnn_input_augment", type=bool, default=True)
     p.add_argument("--cnn_fm_attention", type=str, default="Mixed_4f")
     p.add_argument("--cnn_fm_projection", type=str, default="tied",
@@ -86,6 +88,12 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--run", type=int, default=1)
     p.add_argument("--log_root", type=str, default=None,
                    help="Experiment root (default <repo>/experiments).")
+    p.add_argument("--num_data_shards", type=int, default=0,
+                   help="Cap on the data-parallel mesh size "
+                        "(0 = all devices that divide the batch).")
+    p.add_argument("--train_steps_per_call", type=int, default=1,
+                   help="XE train steps fused into one host dispatch "
+                        "(lax.scan of K).")
     return p
 
 

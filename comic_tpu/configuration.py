@@ -97,8 +97,12 @@ _DEFAULTS: Dict[str, Any] = dict(
     run=1,
     # TPU-specific (no reference equivalent)
     compute_dtype="bfloat16",  # dtype for matmul/conv compute on TPU
-    num_data_shards=1,  # data-parallel mesh size (1 = single chip)
+    num_data_shards=0,  # cap on the data-parallel mesh size (0 = all
+                        # devices that divide the batch)
     train_steps_per_call=1,  # XE steps per host dispatch (lax.scan of K)
+    scst_overlap=True,  # overlap host CIDEr scoring with the next rollout
+                        # (one-step-stale sampling; False = strict
+                        # on-policy reference schedule)
     # host loader: reproduce TF1 resize_bilinear (align_corners=False)
     # exactly instead of cv2 half-pixel centers (parity runs)
     host_resize_tf1=False,

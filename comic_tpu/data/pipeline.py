@@ -137,16 +137,21 @@ class _ImageLoaderPool:
 
 
 def _prefetch(gen: Iterator, depth: int) -> Iterator:
-    """Run `gen` in a background thread with a bounded queue."""
+    """Run `gen` in a background thread with a bounded queue.
+
+    A worker exception is re-raised in the consumer (a corrupt image must
+    fail the epoch loudly, not silently truncate it)."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    _ERR = object()
 
     def worker():
         try:
             for item in gen:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # re-raised on the consumer side
+            q.put((_ERR, e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -154,6 +159,8 @@ def _prefetch(gen: Iterator, depth: int) -> Iterator:
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
         yield item
 
 

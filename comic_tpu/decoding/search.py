@@ -248,12 +248,17 @@ def beam_search_from_memory(
         logp = jnp.where(finished[:, :, None], locked, logp)
 
         total = log_probs[:, :, None] + logp  # (B, K, V)
-        new_lengths = lengths[:, :, None] + jnp.where(
-            finished[:, :, None], 0, 1)
+        # contrib _beam_search_step candidate lengths: +1 for live beams
+        # EXCEPT the EOS column (one_hot(end_token, on=0, off=1)) — the
+        # step that emits EOS is not counted at selection time, though the
+        # carried length below does count it (contrib quirk, reproduced)
+        live = jnp.where(finished[:, :, None], 0, 1)
+        not_eos = (1.0 - eos_onehot).astype(lengths.dtype)  # 0 at end_id
+        new_lengths = lengths[:, :, None] + live * not_eos[None, None, :]
         scores = total / _length_penalty(new_lengths, length_penalty)
 
         flat_scores = scores.reshape(batch, k * vocab)
-        _, top_idx = jax.lax.top_k(flat_scores, k)  # (B, K)
+        sel_scores, top_idx = jax.lax.top_k(flat_scores, k)  # (B, K)
         parent = (top_idx // vocab).astype(jnp.int32)  # (B, K)
         token = (top_idx % vocab).astype(jnp.int32)
 
@@ -273,15 +278,17 @@ def beam_search_from_memory(
         else:
             align_out = jnp.zeros((1, 1, 1, 1), jnp.float32)
         return ((dec_state, token, new_logp, new_finished, new_lens),
-                (token_out, parent, align_out))
+                (token_out, parent, align_out, sel_scores))
 
     ((_, _, log_probs, finished, lengths),
-     (token_buf, parent_buf, align_buf)) = jax.lax.scan(
+     (token_buf, parent_buf, align_buf, sel_buf)) = jax.lax.scan(
         body, carry0, None, length=max_steps)
 
-    # Sort beams best-first by length-penalized score.
-    final_scores = log_probs / _length_penalty(lengths, length_penalty)
-    order = jnp.argsort(-final_scores, axis=1)  # (B, K)
+    # Final beam order = the LAST step's top-k selection order (contrib's
+    # finalize performs no extra sort; each step's top_k already emits
+    # beams best-first by the EOS-aware length-penalized score).
+    final_scores = sel_buf[-1]
+    order = jnp.argsort(-final_scores, axis=1)  # (B, K); identity-stable
     scores_sorted = jnp.take_along_axis(final_scores, order, axis=1)
     lengths_sorted = jnp.take_along_axis(lengths, order, axis=1)
 

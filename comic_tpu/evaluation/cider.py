@@ -28,6 +28,13 @@ SIGMA = 6.0
 MAX_N = 4
 
 
+
+
+def _id_key(k):
+    """ints (COCO) before strings (insta); stable mixed-type sort."""
+    return (isinstance(k, str), str(k))
+
+
 def _tfidf_vec(tokens: List[str], df: Dict[Ngram, float], log_n: float
                ) -> Tuple[List[Dict[Ngram, float]], List[float], int]:
     """-> (per-n sparse vectors, per-n norms, unigram length)."""
@@ -64,7 +71,7 @@ class _CiderBase:
                       ) -> Tuple[float, np.ndarray]:
         df, log_n = self._resolve_df(gts)
         scores = []
-        for k in sorted(gts):
+        for k in sorted(gts, key=_id_key):
             hyp_vec, hyp_norm, hyp_len = _tfidf_vec(
                 res[k][0].split(), df, log_n)
             per_n = np.zeros(MAX_N)

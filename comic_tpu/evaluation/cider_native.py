@@ -28,6 +28,13 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+
+
+def _id_key(k):
+    """ints (COCO) before strings (insta); stable mixed-type sort."""
+    return (isinstance(k, str), str(k))
+
+
 def _load_library() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     with _lock:
@@ -96,7 +103,7 @@ class NativeCiderD:
 
     def compute_score(self, gts: Dict, res: Dict
                       ) -> Tuple[float, np.ndarray]:
-        keys = sorted(gts)
+        keys = sorted(gts, key=_id_key)
         hypos = [res[k][0] for k in keys]
         # assign group ids by identical reference lists (the SCST joint
         # gts dict repeats each image's refs across its hypotheses)

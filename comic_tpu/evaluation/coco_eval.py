@@ -32,23 +32,39 @@ METRIC_ORDER = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
                 "ROUGE_L", "CIDEr", "SPICE"]
 
 
-def load_annotations(path: str) -> Dict[int, List[dict]]:
+def id_sort_key(k):
+    """Stable ordering for image-id keys that may be ints (COCO) or
+    strings (insta): ints first, then strings."""
+    return (isinstance(k, str), str(k))
+
+
+def _image_id(value):
+    """COCO ids are ints; insta-style ids are arbitrary strings
+    (insta_prepro.py annotation JSONs) — coerce only when numeric so the
+    two sides key identically."""
+    if isinstance(value, int):
+        return value
+    s = str(value)
+    return int(s) if s.lstrip("-").isdigit() else s
+
+
+def load_annotations(path: str) -> Dict[object, List[dict]]:
     with open(path) as f:
         data = json.load(f)
     anns = data["annotations"] if isinstance(data, dict) else data
-    gts: Dict[int, List[dict]] = {}
+    gts: Dict[object, List[dict]] = {}
     for a in anns:
-        gts.setdefault(int(a["image_id"]), []).append(
+        gts.setdefault(_image_id(a["image_id"]), []).append(
             {"caption": a["caption"]})
     return gts
 
 
-def load_results(path: str) -> Dict[int, List[dict]]:
+def load_results(path: str) -> Dict[object, List[dict]]:
     with open(path) as f:
         data = json.load(f)
-    res: Dict[int, List[dict]] = {}
+    res: Dict[object, List[dict]] = {}
     for a in data:
-        res[int(a["image_id"])] = [{"caption": a["caption"]}]
+        res[_image_id(a["image_id"])] = [{"caption": a["caption"]}]
     return res
 
 
@@ -80,7 +96,7 @@ class CocoCaptionEvaluator:
         if spice.available():
             scorers.append((spice, "SPICE"))
 
-        ordered_keys = sorted(gts.keys())
+        ordered_keys = sorted(gts.keys(), key=id_sort_key)
         gts_o = {k: gts[k] for k in ordered_keys}
         res_o = {k: res[k] for k in ordered_keys}
 
@@ -156,7 +172,7 @@ def write_score_artifacts(save_dir: str, ckpt_name: str,
 def write_caption_json(path: str, image_ids: Sequence[int],
                        captions: Sequence[str]) -> None:
     """COCO submission format [{image_id, caption}] (infer_fn.py:153-175)."""
-    out = [{"image_id": int(i), "caption": c}
+    out = [{"image_id": _image_id(i), "caption": c}
            for i, c in zip(image_ids, captions)]
     with open(path, "w") as f:
         json.dump(out, f)

@@ -14,6 +14,13 @@ from typing import Dict, List, Sequence, Tuple
 BETA = 1.2
 
 
+
+
+def _id_key(k):
+    """ints (COCO) before strings (insta); stable mixed-type sort."""
+    return (isinstance(k, str), str(k))
+
+
 def lcs_length(a: Sequence[str], b: Sequence[str]) -> int:
     """O(len(a) * len(b)) dynamic program with a rolling row."""
     if not a or not b:
@@ -45,7 +52,7 @@ def rouge_l_sentence(hyp: str, refs: Sequence[str]) -> float:
 
 
 def rouge_l(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
-    scores = [rouge_l_sentence(res[k][0], gts[k]) for k in sorted(gts)]
+    scores = [rouge_l_sentence(res[k][0], gts[k]) for k in sorted(gts, key=_id_key)]
     corpus = sum(scores) / len(scores) if scores else 0.0
     return corpus, scores
 

@@ -128,7 +128,9 @@ def run_inference(config: Config, ckpt_path: str,
 
         serve = make_serve_fn(spec, config, steps,
                               mesh=make_mesh_for_batch(
-                                  config.batch_size_infer),
+                                  config.batch_size_infer,
+                                  limit=int(config.get("num_data_shards")
+                                            or 0)),
                               collect_alignments=save_attention)
 
     ckpt_name = _ckpt_name(ckpt_path)
@@ -250,7 +252,9 @@ def sweep_checkpoints(config: Config,
         spec = build_model_spec(config, vocab)
         serve = make_serve_fn(
             spec, config, max_decode_steps(config, vocab),
-            mesh=make_mesh_for_batch(config.batch_size_infer),
+            mesh=make_mesh_for_batch(
+                config.batch_size_infer,
+                limit=int(config.get("num_data_shards") or 0)),
             collect_alignments=save_attention)
         pipe = InferencePipeline(config)
     results = {}

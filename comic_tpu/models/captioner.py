@@ -98,6 +98,7 @@ def build_model_spec(config: Config, vocab: Vocabulary) -> ModelSpec:
         attn_keep_prob=config.attn_keep_prob,
         start_id=start_id,
         end_id=end_id,
+        initialiser=config.get("initialiser") or "xavier",
     )
     dtype = {"bfloat16": jnp.bfloat16, "float32": None,
              None: None}[config.compute_dtype]
@@ -153,18 +154,30 @@ def sequence_loss(logits: jnp.ndarray, targets: jnp.ndarray,
         jnp.sum(weights, axis=1), 1e-12)
 
 
-def attention_map_loss(alignments: jnp.ndarray, scale: float) -> jnp.ndarray:
+def attention_map_loss(alignments: jnp.ndarray, scale: float,
+                       valid_steps=None) -> jnp.ndarray:
     """Doubly-stochastic attention regularizer.
 
     The reference computes mean((1 - sum over the HEAD axis of the maps)^2)
     (model_base.py:355-365 — the axis=1 of its (B, heads, T, L) tensor is
     heads, despite the "time" comment). Reproduced as-is: alignments here
     are (B, T, H, L), so we sum over axis 2.
+
+    `valid_steps` (traced scalar) restricts the mean to the first N decode
+    steps: the scan-of-K trainer pads captions beyond their bucket bound,
+    and the extra steps must not change this loss vs the single-step
+    dispatch of the same bucket.
     """
     if scale <= 0:
         return jnp.float32(0.0)
     head_sum = jnp.sum(alignments, axis=2)  # (B, T, L)
-    return jnp.mean(jnp.square(1.0 - head_sum)) * scale
+    sq = jnp.square(1.0 - head_sum)
+    if valid_steps is None:
+        return jnp.mean(sq) * scale
+    b, t, l = sq.shape
+    m = (jnp.arange(t) < valid_steps).astype(sq.dtype)[None, :, None]
+    denom = jnp.maximum(b * l * valid_steps.astype(sq.dtype), 1.0)
+    return jnp.sum(sq * m) / denom * scale
 
 
 def xe_forward(params: Params, spec: ModelSpec, images: jnp.ndarray,

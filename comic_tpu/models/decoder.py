@@ -54,6 +54,8 @@ class DecoderConfig(NamedTuple):
     # special token ids in the decode plane (model_base.py:700-707)
     start_id: int = 256
     end_id: int = 257
+    # weight initialiser ('xavier' | 'he' | 'none', train.py --initialiser)
+    initialiser: str = "xavier"
 
     @property
     def rnn_input_size(self) -> int:
@@ -69,7 +71,7 @@ class DecoderState(NamedTuple):
 
 def decoder_init(key, cfg: DecoderConfig) -> Params:
     """Build the decoder parameter pytree."""
-    init = get_initializer("xavier")
+    init = get_initializer(cfg.initialiser)
     ks = jax.random.split(key, 6)
     cell = Cell(cfg.rnn_name, cfg.rnn_input_size, cfg.rnn_size)
     p: Params = {

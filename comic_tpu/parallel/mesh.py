@@ -29,14 +29,17 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
-def make_mesh_for_batch(*batch_sizes: int) -> Mesh:
+def make_mesh_for_batch(*batch_sizes: int, limit: int = 0) -> Mesh:
     """Mesh over the largest device count that divides every batch size.
 
     Keeps batch sharding exact (no padding) when batches don't tile the
     full device count — e.g. unit tests with tiny batches on a virtual
-    8-device mesh.
+    8-device mesh. `limit` > 0 caps the mesh size
+    (config.num_data_shards; 0 = use every divisible device).
     """
     n = len(jax.devices())
+    if limit and limit > 0:
+        n = min(n, int(limit))
     while n > 1 and any(b % n for b in batch_sizes):
         n -= 1
     return make_mesh(n)

@@ -20,6 +20,16 @@ sample pass, the greedy pass, AND the beam-tiled training pass. Here:
 
   Rollout for batch t+1 is dispatched before the host scores batch t, so
   CIDEr computation overlaps device compute.
+
+  DIVERGENCE from the reference (documented per CLAUDE.md): with the
+  default overlap (`scst_overlap=True`), batch t's hypotheses are sampled
+  from parameters that are ONE update older than the parameters the
+  gradient is applied to (the reference samples, scores, and trains with
+  the same params). This is the standard one-step-stale async-RL trade;
+  at SCST's tiny learning rates the bias is negligible and the overlap
+  hides the entire host CIDEr cost. Set `scst_overlap=False` for the
+  reference's strict on-policy schedule (rollout -> score -> train on the
+  same batch, no overlap).
 """
 
 from __future__ import annotations
@@ -255,7 +265,9 @@ def train_fn_scst(config: Config, *,
 
     from ..parallel.mesh import make_mesh_for_batch, replicate
 
-    mesh = make_mesh_for_batch(config.batch_size_train)
+    mesh = make_mesh_for_batch(
+        config.batch_size_train,
+        limit=int(config.get("num_data_shards") or 0))
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
     state = TrainState(params, opt_state,
@@ -274,6 +286,8 @@ def train_fn_scst(config: Config, *,
     rng = jax.random.PRNGKey(config.rand_seed + 2)
     step = start_step
     data_iter = iter(pipe)
+    ov = config.get("scst_overlap")
+    overlap = True if ov is None else bool(ov)
     pending = None  # (rollout outputs, refs) for software pipelining
     metrics: Dict[str, float] = {}
     t_last, n_since = time.time(), 0
@@ -282,12 +296,20 @@ def train_fn_scst(config: Config, *,
         rng, k_roll, k_train = jax.random.split(rng, 3)
         # raw numpy in: jit shards + transfers per its in_shardings
         out = rollout(state.params, images, k_roll)
-        if pending is not None:
+        if not overlap:
+            # strict on-policy: score + train on THIS batch before the
+            # next rollout (reference schedule, no staleness, no overlap)
             state, metrics, step = _finish_step(
-                pending, state, train_step, scorer, config, vocab, width,
-                k_train, writer, step, schedule, mesh=mesh)
+                (out, refs), state, train_step, scorer, config, vocab,
+                width, k_train, writer, step, schedule, mesh=mesh)
             n_since += config.batch_size_train
-        pending = (out, refs)
+        else:
+            if pending is not None:
+                state, metrics, step = _finish_step(
+                    pending, state, train_step, scorer, config, vocab,
+                    width, k_train, writer, step, schedule, mesh=mesh)
+                n_since += config.batch_size_train
+            pending = (out, refs)
 
         if step > 0 and step % 25 == 0 and metrics:
             dt = time.time() - t_last

@@ -58,7 +58,7 @@ def _make_train_step_body(spec: ModelSpec, config: Config, optimizer, mask,
     map_scale = float(config.rnn_map_loss_scale)
     l2_decay = float(config.l2_decay)
 
-    def loss_fn(params, images_u8, captions, rng):
+    def loss_fn(params, images_u8, captions, rng, valid_steps=None):
         # frozen leaves become constants: with the whole CNN frozen (the
         # default decoder stage) autodiff prunes the entire conv backward
         # pass instead of computing grads the optimizer would zero anyway
@@ -68,7 +68,10 @@ def _make_train_step_body(spec: ModelSpec, config: Config, optimizer, mask,
         images = preprocess(images_u8, k_aug, h, w, augment)
         log_ppl, aux = xe_forward(params, spec, images, captions,
                                   rng=k_drop, training=True)
-        map_loss = attention_map_loss(aux["alignments"], map_scale)
+        # valid_steps: scan-of-K pads captions past their bucket bound;
+        # the map loss must only see the bucket's own decode steps
+        map_loss = attention_map_loss(aux["alignments"], map_scale,
+                                      valid_steps=valid_steps)
         reg = masked_l2_loss(params, mask, l2_decay)
         total = log_ppl + map_loss + reg
         return total, {"log_ppl": log_ppl, "map_loss": map_loss, "reg": reg}
@@ -84,9 +87,10 @@ def _make_train_step_body(spec: ModelSpec, config: Config, optimizer, mask,
         return {f"{prefix}_norm/{k}": optax.global_norm(v)
                 for k, v in tree.items()}
 
-    def train_step(state: TrainState, images_u8, captions, rng):
+    def train_step(state: TrainState, images_u8, captions, rng,
+                   valid_steps=None):
         (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images_u8, captions, rng)
+            state.params, images_u8, captions, rng, valid_steps)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = jax.tree_util.tree_map(
@@ -141,19 +145,23 @@ def make_train_multi_step(spec: ModelSpec, config: Config, optimizer, mask,
     One host dispatch per K steps amortizes per-call dispatch/RPC overhead
     — on the axon-tunneled v5e a dispatch floors at ~3-4 ms (CLAUDE.md),
     comparable to the whole b32 step, so K=8 cuts measured step time
-    substantially. Stacked captions must share one padded width (the
-    driver pads across buckets; PAD rows are masked so the loss is
-    unchanged).
+    substantially. Stacked captions must share one padded width; the
+    per-element `widths_k` (each batch's own bucket width) keeps both
+    losses identical to the single-step dispatch — XE pads are masked by
+    the caption mask, the map loss by valid_steps.
+
+    (state, images_u8 (K,B,H,W,3), captions (K,B,T), keys (K,2), widths (K,))
     """
     body = _make_train_step_body(spec, config, optimizer, mask, image_size)
 
-    def multi_step(state, images_k, caps_k, keys_k):
+    def multi_step(state, images_k, caps_k, keys_k, widths_k):
         def scan_body(st, xs):
-            im, cap, key = xs
-            st, metrics = body(st, im, cap, key)
+            im, cap, key, width = xs
+            # decode steps for this batch's own bucket = width - 1
+            st, metrics = body(st, im, cap, key, width - 1)
             return st, metrics
         state, ms = jax.lax.scan(scan_body, state,
-                                 (images_k, caps_k, keys_k))
+                                 (images_k, caps_k, keys_k, widths_k))
         return state, jax.tree_util.tree_map(lambda m: m[-1], ms)
 
     if mesh is not None:
@@ -163,7 +171,7 @@ def make_train_multi_step(spec: ModelSpec, config: Config, optimizer, mask,
 
         bsh1 = NamedSharding(mesh, P(None, DATA_AXIS))  # batch is axis 1
         return jax.jit(multi_step, donate_argnums=(0,),
-                       in_shardings=(None, bsh1, bsh1, None))
+                       in_shardings=(None, bsh1, bsh1, None, None))
     return jax.jit(multi_step, donate_argnums=(0,))
 
 
@@ -296,7 +304,9 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
         # train mesh sized by the TRAIN batch only — the reference eval
         # batch (61, prime) must not collapse the train mesh to 1 device;
         # the eval step shards on its own mesh.
-        mesh = make_mesh_for_batch(config.batch_size_train)
+        mesh = make_mesh_for_batch(
+            config.batch_size_train,
+            limit=int(config.get("num_data_shards") or 0))
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
     state = TrainState(params, opt_state,
@@ -350,12 +360,13 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
                 im2, cp2 = next(data_iter)
                 ims.append(im2)
                 cps.append(cp2)
-            width = max(c.shape[1] for c in cps)
+            widths = np.asarray([c.shape[1] for c in cps], np.int32)
+            width = int(widths.max())
             cps = [np.pad(c, ((0, 0), (0, width - c.shape[1])),
                           constant_values=-1) for c in cps]
             keys = jax.random.split(sub, spc)
             state, metrics = multi_step(state, np.stack(ims),
-                                        np.stack(cps), keys)
+                                        np.stack(cps), keys, widths)
             step += spc
             n_since += sum(im.shape[0] for im in ims)
         else:

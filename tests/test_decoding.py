@@ -182,6 +182,35 @@ class TestBeam:
                                         max_steps=6, length_penalty=2.0)
         assert not np.allclose(np.asarray(t0.scores), np.asarray(t1.scores))
 
+    def test_lpen_scores_match_contrib_locked_semantics(self, setup):
+        """contrib quirk (beam_search_decoder._beam_search_step): the step
+        that EMITS EOS is not counted at selection time, but the carried
+        length includes it — so a beam finished before max_steps is scored
+        total_logp / lp(carried length incl. EOS) at every later step."""
+        spec, p, im, mem = setup
+        B = im.shape[0]
+        T = 10
+        top, _ = beam_search_from_memory(p, spec, im, mem, beam_size=4,
+                                         max_steps=T, length_penalty=1.0)
+        ids = np.asarray(top.ids)
+        lens = np.asarray(top.lengths)
+        st = initial_state(p, spec.decoder, im)
+        prev = np.full((B,), START, np.int64)
+        total = np.zeros(B)
+        for t in range(T):
+            wv = embed_ids(p, spec.decoder, jnp.asarray(prev))
+            logits, _, st = step(p, spec.decoder, wv, st, mem)
+            logp = np.asarray(jax.nn.log_softmax(logits, -1))
+            active = t < lens
+            tok = ids[:, t]
+            total += np.where(active, logp[np.arange(B), tok], 0.0)
+            prev = np.where(active, tok, END)
+        lp = ((5.0 + lens) / 6.0) ** 1.0
+        for b in range(B):
+            if lens[b] < T:  # finished: carried length includes EOS
+                np.testing.assert_allclose(float(top.scores[b]),
+                                           total[b] / lp[b], rtol=1e-4)
+
     def test_finished_beams_locked_to_eos(self, setup):
         spec, p, im, mem = setup
         top, _ = beam_search_from_memory(p, spec, im, mem, beam_size=3,

@@ -188,3 +188,33 @@ class TestCaptionScorer:
         sc = self._scorer()
         with pytest.raises(ValueError):
             sc.get_hypo_scores([["r"]], [["a"], ["b"], ["c"]], [["g"], ["h"]])
+
+
+class TestStringImageIds:
+    def test_insta_style_string_ids_evaluate(self, tmp_path):
+        """Insta-style string image ids (insta_prepro annotation JSONs)
+        must flow through annotation/result loading and scoring; COCO
+        numeric ids keep coercing to int."""
+        import json
+
+        from comic_tpu.evaluation.coco_eval import (evaluate_captions,
+                                                    load_annotations,
+                                                    write_caption_json)
+
+        ann = {"annotations": [
+            {"image_id": "user1_@_post7", "caption": "a man on a bike"},
+            {"image_id": "user1_@_post7", "caption": "a man rides"},
+            {"image_id": "42", "caption": "a dog runs"},
+        ]}
+        ann_path = str(tmp_path / "ann.json")
+        with open(ann_path, "w") as f:
+            json.dump(ann, f)
+        res_path = str(tmp_path / "res.json")
+        write_caption_json(res_path, ["user1_@_post7", "42"],
+                           ["a man on a bike", "a dog runs"])
+
+        gts = load_annotations(ann_path)
+        assert set(gts) == {"user1_@_post7", 42}  # numeric strings coerce
+        scores, img_to_eval = evaluate_captions(ann_path, res_path)
+        assert scores["Bleu_1"] > 0.9
+        assert len(img_to_eval) == 2

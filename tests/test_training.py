@@ -205,10 +205,16 @@ class TestMultiStep:
         rng = np.random.default_rng(3)
         k = 3
         images = rng.integers(0, 256, (k, 2, 256, 256, 3), dtype=np.uint8)
-        caps = np.full((k, 2, 6), -1, np.int32)
-        caps[:, :, 0] = 8
-        caps[:, :, 1:4] = rng.integers(0, 8, (k, 2, 3))
-        caps[:, :, 4] = 9
+        # MIXED bucket widths (6, 6, 9): the scan path must pad the stack
+        # to 9 without changing either loss vs the single-step dispatches
+        widths = [6, 6, 9]
+        caps_list = []
+        for i, wdt in enumerate(widths):
+            cp = np.full((2, wdt), -1, np.int32)
+            cp[:, 0] = 8
+            cp[:, 1: wdt - 2] = rng.integers(0, 8, (2, wdt - 3))
+            cp[:, wdt - 2] = 9
+            caps_list.append(cp)
         keys = jax.random.split(jax.random.PRNGKey(11), k)
 
         def fresh_state():
@@ -222,22 +228,31 @@ class TestMultiStep:
 
         opt, mask, state = fresh_state()
         single = make_train_step(spec, c, opt, mask, (64, 64))
+        map_losses = []
         for i in range(k):
-            state, metrics_single = single(state, images[i], caps[i],
+            state, metrics_single = single(state, images[i], caps_list[i],
                                            keys[i])
+            map_losses.append(float(metrics_single["map_loss"]))
         ref_emb = np.asarray(state.params["decoder"]["embedding"])
 
         opt, mask, state = fresh_state()
         multi = make_train_multi_step(spec, c, opt, mask, (64, 64), k)
-        state, metrics_multi = multi(state, images, caps, keys)
+        wmax = max(widths)
+        caps_k = np.stack([
+            np.pad(cp, ((0, 0), (0, wmax - cp.shape[1])),
+                   constant_values=-1) for cp in caps_list])
+        state, metrics_multi = multi(state, images, caps_k, keys,
+                                     np.asarray(widths, np.int32))
         assert int(state.step) == k
         np.testing.assert_allclose(
             np.asarray(state.params["decoder"]["embedding"]), ref_emb,
             rtol=1e-6, atol=1e-8)
-        # metrics are the last scanned step's
+        # metrics are the last scanned step's, incl. the masked map loss
         np.testing.assert_allclose(float(metrics_multi["log_ppl"]),
                                    float(metrics_single["log_ppl"]),
                                    rtol=1e-5)
+        np.testing.assert_allclose(float(metrics_multi["map_loss"]),
+                                   map_losses[-1], rtol=1e-5)
 
 
 class TestOrbaxBackend:
