@@ -458,3 +458,61 @@ class TestBnMovingStatsFrozen:
         assert float(jnp.abs(upd_bn["moving_mean"]).max()) == 0.0
         assert float(jnp.abs(upd_bn["moving_variance"]).max()) == 0.0
         assert float(jnp.abs(upd_bn["beta"]).max()) > 0.0
+
+
+class TestInitialiserFlag:
+    def test_he_changes_decoder_init(self):
+        """--initialiser must reach decoder_init (was hardcoded xavier)."""
+        from comic_tpu.configuration import Config
+        from comic_tpu.models.captioner import build_model_spec, init_params
+        from comic_tpu.tokenization import Vocabulary
+
+        wtoi = {"<PAD>": -1, "w": 0, "<UNK>": 1, "<GO>": 2, "<EOS>": 3}
+        vocab = Vocabulary(wtoi)
+        base = dict(token_type="radix", radix_base=8, rnn_size=16,
+                    rnn_word_size=8, attn_num_heads=2,
+                    cnn_input_size=(64, 64))
+        p_x = init_params(jax.random.PRNGKey(0), build_model_spec(
+            Config(**base, initialiser="xavier"), vocab))
+        p_h = init_params(jax.random.PRNGKey(0), build_model_spec(
+            Config(**base, initialiser="he"), vocab))
+        a = np.asarray(p_x["decoder"]["embedding"])
+        b = np.asarray(p_h["decoder"]["embedding"])
+        assert not np.allclose(a, b)
+        # he draws from a wider fan-in-only bound than glorot
+        assert np.abs(b).max() > np.abs(a).max()
+
+
+@pytest.mark.slow
+class TestOrbaxDriverSmoke:
+    def test_train_fn_with_orbax_backend(self, tmp_path):
+        """checkpoint_backend='orbax' through the XE driver: orbax dirs
+        written with the shared naming, and inference-style loading
+        resolves them."""
+        pytest.importorskip("orbax.checkpoint")
+        root, _ = make_synthetic_dataset(
+            str(tmp_path / "data"), num_train=8, num_valid=4, num_test=4,
+            captions_per_image=1)
+        c = Config(
+            token_type="radix", radix_base=16, dataset_dir=root,
+            dataset_file_pattern="synth_{}", batch_size_train=4,
+            batch_size_eval=4, max_epoch=1, rnn_size=32, rnn_word_size=16,
+            attn_num_heads=2, compute_dtype="float32",
+            cnn_input_size=(64, 64), dropout_rnn_in=0.0,
+            dropout_rnn_out=0.0, attn_keep_prob=1.0,
+            log_path=str(tmp_path / "exp"), freeze_scopes="", rand_seed=0,
+            checkpoint_backend="orbax")
+        train_fn(c, max_steps_override=2)
+        d = str(tmp_path / "exp")
+        names = ckpt.list_checkpoints(d)
+        assert names == ["model_compact-2"]
+        assert os.path.isdir(os.path.join(d, "model_compact-2.orbax"))
+        # resume path reads the orbax full checkpoint
+        from comic_tpu.models.captioner import build_model_spec, init_params
+        from comic_tpu.tokenization import Vocabulary
+        vocab = Vocabulary.from_str_itow(c.wtoi, c.itow)
+        spec = build_model_spec(c, vocab)
+        tpl = init_params(jax.random.PRNGKey(0), spec)
+        restored = ckpt.load_compact(d, tpl)
+        leaves = jax.tree_util.tree_leaves(restored)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
