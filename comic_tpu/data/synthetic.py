@@ -36,8 +36,12 @@ def make_synthetic_dataset(
     image_size: int = 256,
     seed: int = 0,
     captions_per_image: int = 2,
+    style: str = "coco",
 ) -> Tuple[str, Vocabulary]:
-    """Create a dataset under `root`; returns (dataset_dir, vocab)."""
+    """Create a dataset under `root`; returns (dataset_dir, vocab).
+
+    style='insta' names images like InstaPIC posts (no trailing numeric
+    id), so image ids stay STRINGS end to end (insta_prepro.py)."""
     rng = random.Random(seed)
     np_rng = np.random.default_rng(seed)
     os.makedirs(pjoin(root, "captions"), exist_ok=True)
@@ -56,7 +60,10 @@ def make_synthetic_dataset(
     for split, count in splits.items():
         rows = []
         for _ in range(count):
-            fname = f"images/COCO_synth_{img_idx:012d}.jpg"
+            if style == "insta":
+                fname = f"images/user{img_idx}_@_post.jpg"
+            else:
+                fname = f"images/COCO_synth_{img_idx:012d}.jpg"
             arr = np_rng.integers(0, 256, (image_size, image_size, 3),
                                   dtype=np.uint8)
             Image.fromarray(arr).save(pjoin(root, fname), quality=60)
@@ -89,7 +96,8 @@ def make_synthetic_dataset(
         anns = []
         for i, (fname, toks) in enumerate(records[split]):
             stem = fname.split("/")[-1].rsplit(".", 1)[0]
-            image_id = int(stem.split("_")[-1])
+            image_id = (stem if style == "insta"
+                        else int(stem.split("_")[-1]))
             anns.append({"image_id": image_id, "id": i,
                          "caption": " ".join(toks)})
         with open(pjoin(root, "captions", f"annotations_{split}.json"),

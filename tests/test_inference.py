@@ -177,3 +177,42 @@ class TestCli:
             try_to_train(boom, c)
         err = tmp_path / "error__exp_x.txt"
         assert err.exists() and "boom" in err.read_text()
+
+
+@pytest.mark.slow
+class TestInstaStringIds:
+    def test_string_id_inference_and_scoring(self, tmp_path):
+        """InstaPIC-style runs carry string image ids (no trailing COCO
+        number) from filenames through caption JSON to metric scoring
+        (reference infer_fn.py:139-151 '@' branch)."""
+        root, _ = make_synthetic_dataset(
+            str(tmp_path / "d"), num_train=8, num_valid=4, num_test=4,
+            captions_per_image=1, style="insta")
+        c = Config(
+            token_type="radix", radix_base=16, dataset_dir=root,
+            dataset_file_pattern="synth_{}", batch_size_train=4,
+            batch_size_eval=4, max_epoch=1, rnn_size=32, rnn_word_size=16,
+            attn_num_heads=2, compute_dtype="float32",
+            cnn_input_size=(64, 64), dropout_rnn_in=0.0,
+            dropout_rnn_out=0.0, attn_keep_prob=1.0,
+            log_path=str(tmp_path / "exp"), freeze_scopes="", rand_seed=0,
+            batch_size_infer=2, infer_beam_size=2, infer_max_length=10,
+            infer_set="test")
+        train_fn(c, max_steps_override=2)
+        config = load_config(c.log_path)
+        config.update(log_path=c.log_path, infer_set="test",
+                      batch_size_infer=2, infer_beam_size=2,
+                      infer_max_length=10)
+        ann = os.path.join(root, "captions", "annotations_test.json")
+        results = sweep_checkpoints(config, annotations_file=ann)
+        assert results
+        scores = next(iter(results.values()))
+        assert "CIDEr" in scores
+        # the caption JSON carries the string ids verbatim
+        save_dir = os.path.join(c.log_path, infer_dir_name(config))
+        caps = [f for f in os.listdir(save_dir)
+                if f.startswith("captions___")]
+        with open(os.path.join(save_dir, caps[0])) as f:
+            out = json.load(f)
+        assert all(isinstance(r["image_id"], str)
+                   and "user" in r["image_id"] for r in out)
