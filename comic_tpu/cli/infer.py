@@ -46,6 +46,9 @@ def create_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ..parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # no-op unless COMIC_COORDINATOR is set
     args = create_parser().parse_args(argv)
     config = load_config(args.infer_checkpoints_dir)
     config.update(

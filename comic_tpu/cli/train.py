@@ -218,6 +218,9 @@ def try_to_train(stage_fn, config: Config, try_block: bool = True):
 
 
 def main(argv=None):
+    from ..parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # no-op unless COMIC_COORDINATOR is set
     args = create_parser().parse_args(argv)
     if args.legacy:
         print("LEGACY mode enabled. Some arguments will be overridden.")

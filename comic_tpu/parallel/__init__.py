@@ -1,3 +1,4 @@
+from .distributed import maybe_initialize_distributed
 from .mesh import (
     DATA_AXIS,
     batch_sharding,
@@ -8,6 +9,7 @@ from .mesh import (
 )
 
 __all__ = [
-    "DATA_AXIS", "batch_sharding", "make_mesh", "replicate", "replicated",
+    "DATA_AXIS", "batch_sharding", "make_mesh",
+    "maybe_initialize_distributed", "replicate", "replicated",
     "shard_batch",
 ]

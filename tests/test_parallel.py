@@ -261,3 +261,29 @@ class TestLocalBatchGuards:
         arr = _FakeArray((16, 3), [_FakeShard(0, a), _FakeShard(8, a)])
         with pytest.raises(ValueError, match="non-contiguous"):
             m.local_batch(arr)
+
+
+class TestDistributedBootstrap:
+    def test_noop_without_coordinator(self, monkeypatch):
+        from comic_tpu.parallel.distributed import maybe_initialize_distributed
+
+        monkeypatch.delenv("COMIC_COORDINATOR", raising=False)
+        assert maybe_initialize_distributed() is False
+
+    def test_env_args_passed_through(self, monkeypatch):
+        import comic_tpu.parallel.distributed as dist
+
+        calls = {}
+
+        class _FakeDist:
+            @staticmethod
+            def initialize(**kw):
+                calls.update(kw)
+
+        monkeypatch.setenv("COMIC_COORDINATOR", "10.0.0.1:1234")
+        monkeypatch.setenv("COMIC_NUM_PROCESSES", "4")
+        monkeypatch.setenv("COMIC_PROCESS_ID", "2")
+        monkeypatch.setattr(jax, "distributed", _FakeDist)
+        assert dist.maybe_initialize_distributed() is True
+        assert calls == {"coordinator_address": "10.0.0.1:1234",
+                         "num_processes": 4, "process_id": 2}
