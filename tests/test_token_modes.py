@@ -48,6 +48,17 @@ class TestTokenModes:
         # char vocab was injected into the config (manager behavior)
         assert c.wtoi["<GO>"] == 38
 
+    def test_legacy_training_smoke(self, synth, tmp_path):
+        """Legacy mode through the full XE driver: halving LR schedule,
+        project_hidden init, LN-tanh head (train.py:178-200)."""
+        root, _ = synth
+        c = _base_config(root, token_type="radix", radix_base=8,
+                         legacy=True, rnn_init_method="project_hidden",
+                         adam_epsilon=1e-6, lr_reduce_every_n_epochs=4,
+                         log_path=str(tmp_path / "l"))
+        m = train_fn(c, max_steps_override=2)
+        assert np.isfinite(m["total_loss"])
+
     def test_legacy_forward(self):
         """Legacy mode: project_hidden init + LN-tanh/linear image head
         (train.py:178-200, model_base.py:80-91,657-672)."""
