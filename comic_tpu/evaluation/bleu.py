@@ -22,15 +22,12 @@ from typing import Dict, List, Sequence, Tuple
 
 from .ngrams import ngram_counts
 
+
+from .ids import id_sort_key
+
 _TINY = 1e-15
 _SMALL = 1e-9
 
-
-
-
-def _id_key(k):
-    """ints (COCO) before strings (insta); stable mixed-type sort."""
-    return (isinstance(k, str), str(k))
 
 
 def _closest_reflen(ref_lens: Sequence[int], test_len: int) -> int:
@@ -77,7 +74,7 @@ def bleu(gts: Dict, res: Dict, max_n: int = 4
     total_reflen = 0.0
     per_image: List[List[float]] = [[] for _ in range(max_n)]
 
-    for key in sorted(gts, key=_id_key):
+    for key in sorted(gts, key=id_sort_key):
         refs = gts[key]
         hyp = res[key][0]
         hyp_tokens = hyp.split()

@@ -24,15 +24,12 @@ import numpy as np
 
 from .ngrams import Ngram, document_frequency, ngram_counts
 
+
+from .ids import id_sort_key
+
 SIGMA = 6.0
 MAX_N = 4
 
-
-
-
-def _id_key(k):
-    """ints (COCO) before strings (insta); stable mixed-type sort."""
-    return (isinstance(k, str), str(k))
 
 
 def _tfidf_vec(tokens: List[str], df: Dict[Ngram, float], log_n: float
@@ -71,7 +68,7 @@ class _CiderBase:
                       ) -> Tuple[float, np.ndarray]:
         df, log_n = self._resolve_df(gts)
         scores = []
-        for k in sorted(gts, key=_id_key):
+        for k in sorted(gts, key=id_sort_key):
             hyp_vec, hyp_norm, hyp_len = _tfidf_vec(
                 res[k][0].split(), df, log_n)
             per_n = np.zeros(MAX_N)

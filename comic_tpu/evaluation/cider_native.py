@@ -24,15 +24,12 @@ _BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
 _LIB = os.path.join(_BUILD_DIR, "libciderd.so")
 
 _lock = threading.Lock()
+
+from .ids import id_sort_key
+
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
-
-
-
-def _id_key(k):
-    """ints (COCO) before strings (insta); stable mixed-type sort."""
-    return (isinstance(k, str), str(k))
 
 
 def _load_library() -> Optional[ctypes.CDLL]:
@@ -103,7 +100,7 @@ class NativeCiderD:
 
     def compute_score(self, gts: Dict, res: Dict
                       ) -> Tuple[float, np.ndarray]:
-        keys = sorted(gts, key=_id_key)
+        keys = sorted(gts, key=id_sort_key)
         hypos = [res[k][0] for k in keys]
         # assign group ids by identical reference lists (the SCST joint
         # gts dict repeats each image's refs across its hypotheses)

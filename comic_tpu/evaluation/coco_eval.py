@@ -24,18 +24,13 @@ import numpy as np
 
 from .bleu import BleuScorer
 from .cider import Cider
+from .ids import id_sort_key
 from .java_metrics import MeteorScorer, SpiceScorer
 from .rouge import RougeScorer
 from .tokenizer import PTBTokenizer
 
 METRIC_ORDER = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
                 "ROUGE_L", "CIDEr", "SPICE"]
-
-
-def id_sort_key(k):
-    """Stable ordering for image-id keys that may be ints (COCO) or
-    strings (insta): ints first, then strings."""
-    return (isinstance(k, str), str(k))
 
 
 def _image_id(value):

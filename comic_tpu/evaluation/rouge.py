@@ -11,14 +11,11 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
+
+from .ids import id_sort_key
+
 BETA = 1.2
 
-
-
-
-def _id_key(k):
-    """ints (COCO) before strings (insta); stable mixed-type sort."""
-    return (isinstance(k, str), str(k))
 
 
 def lcs_length(a: Sequence[str], b: Sequence[str]) -> int:
@@ -52,7 +49,7 @@ def rouge_l_sentence(hyp: str, refs: Sequence[str]) -> float:
 
 
 def rouge_l(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
-    scores = [rouge_l_sentence(res[k][0], gts[k]) for k in sorted(gts, key=_id_key)]
+    scores = [rouge_l_sentence(res[k][0], gts[k]) for k in sorted(gts, key=id_sort_key)]
     corpus = sum(scores) / len(scores) if scores else 0.0
     return corpus, scores
 

@@ -58,7 +58,7 @@ def _ckpt_name(ckpt_path: str) -> str:
     """Suffixless checkpoint name for artifact keys — the same name no
     matter which backend's path (msgpack file / orbax dir) was given."""
     name = os.path.basename(ckpt_path.rstrip(os.sep))
-    for suffix in (".msgpack", ".orbax"):
+    for suffix in (ckpt._SUFFIX, ckpt._ORBAX_SUFFIX):
         if name.endswith(suffix):
             name = name[: -len(suffix)]
     return name

@@ -139,8 +139,8 @@ def make_train_multi_step(spec: ModelSpec, config: Config, optimizer, mask,
     (config.train_steps_per_call; no reference equivalent — TF1 pays one
     sess.run per step).
 
-    (state, images_u8 (K,B,H,W,3), captions (K,B,T), keys (K,2) uint32)
-    -> (state, metrics of the LAST step)
+    (state, images_u8 (K,B,H,W,3), captions (K,B,T), keys (K,2) uint32,
+     widths (K,)) -> (state, metrics of the LAST step)
 
     One host dispatch per K steps amortizes per-call dispatch/RPC overhead
     — on the axon-tunneled v5e a dispatch floors at ~3-4 ms (CLAUDE.md),
@@ -149,8 +149,6 @@ def make_train_multi_step(spec: ModelSpec, config: Config, optimizer, mask,
     per-element `widths_k` (each batch's own bucket width) keeps both
     losses identical to the single-step dispatch — XE pads are masked by
     the caption mask, the map loss by valid_steps.
-
-    (state, images_u8 (K,B,H,W,3), captions (K,B,T), keys (K,2), widths (K,))
     """
     body = _make_train_step_body(spec, config, optimizer, mask, image_size)
 
@@ -181,7 +179,6 @@ def _write_model_size(log_path: str, subtree: Params, scope: str) -> None:
     'name\\r\\nshape' stanza per variable. The README's 'Decoder params'
     column is read from this artifact."""
     entries = []
-    total = 0
 
     def walk(path, leaf):
         shape = list(np.asarray(leaf).shape)
