@@ -326,6 +326,9 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
     save_every = (steps_per_epoch if steps_per_epoch <= 5000
                   else steps_per_epoch // 2)
 
+    from ..utils.profiling import StepTracer
+
+    tracer = StepTracer(config.get("profile_dir"))
     rng = jax.random.PRNGKey(config.rand_seed + 1)
     step = start_step
     t_last, n_since = time.time(), 0
@@ -384,6 +387,7 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
                   f"{m['examples_per_sec']:.1f} ex/s")
             t_last, n_since = time.time(), 0
 
+        tracer.step(step)
         if ((step // save_every) != (prev_step // save_every)
                 or step == max_step):
             # serialization + IO happen on the saver thread; only the
@@ -395,6 +399,7 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
             writer.scalars(step, {"eval_perplexity": eval_ppl})
             print(f"step {step}: eval perplexity {eval_ppl:.3f}")
 
+    tracer.close()
     saver.close()
     writer.close()
     out = {k: float(v) for k, v in metrics.items()} if metrics else {}

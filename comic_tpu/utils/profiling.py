@@ -54,3 +54,41 @@ class Throughput:
         self._t = time.time()
         self._n = 0
         return rate
+
+
+class StepTracer:
+    """Capture a jax.profiler trace of steps [start, start+count) of a
+    training loop (config.profile_dir; TensorBoard trace-viewer format).
+    Call `step(i)` once per loop iteration and `close()` on exit; both are
+    no-ops when log_dir is falsy."""
+
+    def __init__(self, log_dir: Optional[str], start: int = 10,
+                 count: int = 3):
+        self._dir = log_dir
+        self._start = start
+        self._stop = start + count
+        self._active = False
+
+    def step(self, step: int) -> None:
+        if not self._dir:
+            return
+        import jax
+
+        if not self._active and self._start <= step < self._stop:
+            try:
+                jax.profiler.start_trace(self._dir)
+                self._active = True
+            except Exception:
+                self._dir = None  # profiler unavailable; stay silent
+        elif self._active and step >= self._stop:
+            self.close()
+
+    def close(self) -> None:
+        if self._active:
+            import jax
+
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+            self._active = False

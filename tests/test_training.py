@@ -516,3 +516,34 @@ class TestOrbaxDriverSmoke:
         restored = ckpt.load_compact(d, tpl)
         leaves = jax.tree_util.tree_leaves(restored)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+class TestStepTracer:
+    def test_window_start_stop(self, monkeypatch):
+        from comic_tpu.utils.profiling import StepTracer
+
+        calls = []
+
+        class _FakeProfiler:
+            @staticmethod
+            def start_trace(d):
+                calls.append(("start", d))
+
+            @staticmethod
+            def stop_trace():
+                calls.append(("stop", None))
+
+        monkeypatch.setattr(jax, "profiler", _FakeProfiler)
+        tr = StepTracer("/tmp/prof", start=2, count=2)
+        for s in range(6):
+            tr.step(s)
+        tr.close()
+        assert calls == [("start", "/tmp/prof"), ("stop", None)]
+
+    def test_noop_without_dir(self):
+        from comic_tpu.utils.profiling import StepTracer
+
+        tr = StepTracer(None)
+        for s in range(5):
+            tr.step(s)
+        tr.close()  # nothing raised, nothing traced
