@@ -127,3 +127,55 @@ class TestGroupedAttention:
             np.testing.assert_allclose(
                 np.asarray(align_g).reshape(B * K, H, L), align_f,
                 rtol=1e-5, atol=1e-6)
+
+
+class TestAddLnTfTwin:
+    def test_attend_matches_raw_tf_twin(self):
+        """Independent golden for the COMIC attention: the whole add_LN
+        score chain (memory/query projections, contrib layer_norm with
+        learnable scale/center at eps 1e-12, tanh, v-weighting, contiguous
+        head split, per-head channel sum, learned temperature, softmax,
+        tied-value context) rebuilt from raw tf ops
+        (ops_rnn.py:523-565, ops.py:241-280)."""
+        tf = pytest.importorskip("tensorflow")
+        from comic_tpu.models.attention import (AttentionConfig,
+                                                attention_init, attend,
+                                                precompute)
+
+        cfg = AttentionConfig(num_units=32, num_heads=4,
+                              memory_channels=24, fm_projection="tied")
+        rng = np.random.default_rng(11)
+        p = attention_init(jax.random.PRNGKey(2), cfg)
+        p = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(rng.normal(0, 0.4, a.shape), jnp.float32),
+            p)
+        p["softmax_temperature"] = jnp.float32(3.7)
+        B, L = 3, 10
+        fmap = rng.normal(size=(B, L, 24)).astype(np.float32)
+        query = rng.normal(size=(B, 32)).astype(np.float32)
+
+        mem = precompute(p, cfg, jnp.asarray(fmap))
+        assert mem.key_mean is not None  # closed-form LN path active
+        ctx, align = attend(p, cfg, jnp.asarray(query), mem)
+
+        pn = jax.tree_util.tree_map(np.asarray, p)
+        keys = tf.matmul(fmap, pn["memory_layer"]["kernel"])
+        pq = tf.matmul(query, pn["query_layer"]["kernel"])
+        s = keys + pq[:, None, :]
+        mu = tf.reduce_mean(s, -1, keepdims=True)
+        var = tf.reduce_mean(tf.square(s - mu), -1, keepdims=True)
+        s = tf.tanh((s - mu) / tf.sqrt(var + 1e-12) * pn["ln"]["scale"]
+                    + pn["ln"]["bias"])
+        s = s * pn["v"]
+        H, Uh = 4, 8
+        score = tf.transpose(tf.reshape(s, (B, L, H, Uh)), (0, 2, 1, 3))
+        score = tf.reduce_sum(score, axis=3) / pn["softmax_temperature"]
+        align_tf = tf.nn.softmax(score, axis=-1)  # (B, H, L)
+        values = tf.transpose(tf.reshape(keys, (B, L, H, Uh)), (0, 2, 1, 3))
+        ctx_tf = tf.reshape(tf.einsum("bhl,bhld->bhd", align_tf, values),
+                            (B, H * Uh))
+
+        np.testing.assert_allclose(np.asarray(align), align_tf.numpy(),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ctx), ctx_tf.numpy(),
+                                   rtol=1e-4, atol=1e-5)
