@@ -104,10 +104,13 @@ class TestGreedy:
         assert not np.array_equal(np.asarray(o1.ids), np.asarray(o3.ids))
 
 
-def _exhaustive_best(spec, p, im, mem, max_steps):
-    """Enumerate every hypothesis and return the max-log-prob one per item."""
+def _exhaustive_best(spec, p, im, mem, max_steps, score_fn=None):
+    """Enumerate every hypothesis and return the best one per item.
+
+    score_fn(total_logp, hyp) ranks hypotheses (default: raw log-prob)."""
     B = im.shape[0]
     best = [(-np.inf, None)] * B
+    score_fn = score_fn or (lambda lp, hyp: lp)
 
     def seq_logprob(tokens):
         st = initial_state(p, spec.decoder, im)
@@ -133,8 +136,9 @@ def _exhaustive_best(spec, p, im, mem, max_steps):
     for hyp in hyps:
         lp = seq_logprob(hyp)
         for b in range(B):
-            if lp[b] > best[b][0]:
-                best[b] = (lp[b], hyp)
+            sc = score_fn(lp[b], hyp)
+            if sc > best[b][0]:
+                best[b] = (sc, hyp)
     return best
 
 
@@ -162,6 +166,34 @@ class TestBeam:
         best = _exhaustive_best(spec, p, im, mem, T)
         for b, (lp, hyp) in enumerate(best):
             np.testing.assert_allclose(float(top.scores[b]), lp, rtol=1e-4)
+            got = list(np.asarray(top.ids)[b][: len(hyp)])
+            assert tuple(got) == hyp, (b, got, hyp)
+
+    def test_wide_beam_lpen_matches_contrib_scoring(self, setup):
+        """Exact search at T=3 with length penalty 1.0: the top beam must
+        maximize the CONTRIB scoring function — a hypothesis finished
+        before the last step is ranked by lp(length incl. EOS), one
+        finishing exactly at the last step by lp(length excl. EOS)
+        (_beam_search_step's one_hot(end) zero-add), an unfinished one by
+        lp(max_steps)."""
+        spec, p, im, mem = setup
+        T, alpha = 3, 1.0
+        top, _ = beam_search_from_memory(p, spec, im, mem, beam_size=16,
+                                         max_steps=T, length_penalty=alpha)
+
+        def lp(n):
+            return ((5.0 + n) / 6.0) ** alpha
+
+        def contrib_score(total, hyp):
+            if END not in hyp:
+                return total / lp(T)
+            e = hyp.index(END)
+            return total / lp(e if e == T - 1 else e + 1)
+
+        best = _exhaustive_best(spec, p, im, mem, T,
+                                score_fn=contrib_score)
+        for b, (sc, hyp) in enumerate(best):
+            np.testing.assert_allclose(float(top.scores[b]), sc, rtol=1e-4)
             got = list(np.asarray(top.ids)[b][: len(hyp)])
             assert tuple(got) == hyp, (b, got, hyp)
 
