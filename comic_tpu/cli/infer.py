@@ -48,8 +48,10 @@ def create_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     from ..parallel.distributed import maybe_initialize_distributed
 
-    maybe_initialize_distributed()  # no-op unless COMIC_COORDINATOR is set
+    # parse first so --help/arg errors stay instant even when a launcher
+    # exports COMIC_COORDINATOR; argparse touches no JAX state
     args = create_parser().parse_args(argv)
+    maybe_initialize_distributed()  # no-op unless COMIC_COORDINATOR is set
     config = load_config(args.infer_checkpoints_dir)
     config.update(
         log_path=args.infer_checkpoints_dir,

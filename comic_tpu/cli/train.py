@@ -94,6 +94,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_steps_per_call", type=int, default=1,
                    help="XE train steps fused into one host dispatch "
                         "(lax.scan of K).")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="jax.profiler trace dir (captures a few train "
+                        "iterations in TensorBoard trace-viewer format).")
     return p
 
 
@@ -220,8 +223,10 @@ def try_to_train(stage_fn, config: Config, try_block: bool = True):
 def main(argv=None):
     from ..parallel.distributed import maybe_initialize_distributed
 
-    maybe_initialize_distributed()  # no-op unless COMIC_COORDINATOR is set
+    # parse first so --help/arg errors stay instant even when a launcher
+    # exports COMIC_COORDINATOR; argparse touches no JAX state
     args = create_parser().parse_args(argv)
+    maybe_initialize_distributed()  # no-op unless COMIC_COORDINATOR is set
     if args.legacy:
         print("LEGACY mode enabled. Some arguments will be overridden.")
         apply_legacy_overrides(args)

@@ -21,13 +21,11 @@ import math
 from typing import Dict, List, Sequence, Tuple
 
 from .ngrams import ngram_counts
-
-
 from .ids import id_sort_key
+
 
 _TINY = 1e-15
 _SMALL = 1e-9
-
 
 
 def _closest_reflen(ref_lens: Sequence[int], test_len: int) -> int:

@@ -23,13 +23,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .ngrams import Ngram, document_frequency, ngram_counts
-
-
 from .ids import id_sort_key
+
 
 SIGMA = 6.0
 MAX_N = 4
-
 
 
 def _tfidf_vec(tokens: List[str], df: Dict[Ngram, float], log_n: float

@@ -16,6 +16,8 @@ import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+from .ids import id_sort_key
+
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -25,11 +27,9 @@ _LIB = os.path.join(_BUILD_DIR, "libciderd.so")
 
 _lock = threading.Lock()
 
-from .ids import id_sort_key
 
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
-
 
 
 def _load_library() -> Optional[ctypes.CDLL]:

@@ -10,12 +10,10 @@ F = (1 + b^2) P R / (R + b^2 P); corpus score is the mean over images.
 from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
-
-
 from .ids import id_sort_key
 
-BETA = 1.2
 
+BETA = 1.2
 
 
 def lcs_length(a: Sequence[str], b: Sequence[str]) -> int:

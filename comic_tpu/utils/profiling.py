@@ -57,30 +57,35 @@ class Throughput:
 
 
 class StepTracer:
-    """Capture a jax.profiler trace of steps [start, start+count) of a
-    training loop (config.profile_dir; TensorBoard trace-viewer format).
-    Call `step(i)` once per loop iteration and `close()` on exit; both are
-    no-ops when log_dir is falsy."""
+    """Capture a jax.profiler trace of loop iterations [start, start+count)
+    (config.profile_dir; TensorBoard trace-viewer format). Counts CALLS,
+    not step values, so scan-of-K strides and resumed step counters still
+    hit the window. Call `step(i)` once per loop iteration and `close()`
+    on exit; both are no-ops when log_dir is falsy."""
 
     def __init__(self, log_dir: Optional[str], start: int = 10,
                  count: int = 3):
         self._dir = log_dir
         self._start = start
         self._stop = start + count
+        self._calls = 0
         self._active = False
 
     def step(self, step: int) -> None:
+        del step  # iteration count, not the (possibly strided) counter
         if not self._dir:
             return
         import jax
 
-        if not self._active and self._start <= step < self._stop:
+        i = self._calls
+        self._calls += 1
+        if not self._active and self._start <= i < self._stop:
             try:
                 jax.profiler.start_trace(self._dir)
                 self._active = True
             except Exception:
                 self._dir = None  # profiler unavailable; stay silent
-        elif self._active and step >= self._stop:
+        elif self._active and i >= self._stop:
             self.close()
 
     def close(self) -> None:

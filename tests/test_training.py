@@ -540,6 +540,29 @@ class TestStepTracer:
         tr.close()
         assert calls == [("start", "/tmp/prof"), ("stop", None)]
 
+    def test_counts_calls_not_step_values(self, monkeypatch):
+        """scan-of-K strides and resumed counters must still hit the
+        window: the tracer counts invocations, not step values."""
+        from comic_tpu.utils.profiling import StepTracer
+
+        calls = []
+
+        class _FakeProfiler:
+            @staticmethod
+            def start_trace(d):
+                calls.append("start")
+
+            @staticmethod
+            def stop_trace():
+                calls.append("stop")
+
+        monkeypatch.setattr(jax, "profiler", _FakeProfiler)
+        tr = StepTracer("/tmp/prof", start=2, count=2)
+        for s in range(1000, 1048, 8):  # resumed run, K=8 stride
+            tr.step(s)
+        tr.close()
+        assert calls == ["start", "stop"]
+
     def test_noop_without_dir(self):
         from comic_tpu.utils.profiling import StepTracer
 
