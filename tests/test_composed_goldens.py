@@ -108,6 +108,53 @@ class TestResnetV1Golden:
                                    rtol=2e-4, atol=1e-4)
 
 
+class TestResnetV1FullGolden:
+    def test_full_network_matches_tf(self, rng):
+        """All four blocks with slim's hand-specified unit counts
+        (3, 4, 6, 3) and the subsampling stride on each block's LAST unit
+        (resnet_utils.stack_blocks_dense convention — torchvision puts it
+        on the first), through to the pooled (B, 2048) feature."""
+        p = _randomize(rv1.init_params(jax.random.PRNGKey(10),
+                                       "resnet_v1_50"), rng, w_std=0.05)
+        x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+        pn = _np(p)
+        eps = rv1.BN_EPS
+
+        def bottleneck(u, y, stride):
+            if "shortcut" in u:
+                sc = _bn(u["shortcut"], tf.nn.conv2d(
+                    y, u["shortcut"]["weights"], strides=stride,
+                    padding="SAME"), eps)
+            elif stride > 1:
+                sc = y[:, ::stride, ::stride, :]
+            else:
+                sc = y
+            r = tf.nn.relu(_bn(u["conv1"], tf.nn.conv2d(
+                y, u["conv1"]["weights"], strides=1, padding="SAME"), eps))
+            r = _conv_same(u["conv2"], r, 3, stride, eps)
+            r = _bn(u["conv3"], tf.nn.conv2d(
+                r, u["conv3"]["weights"], strides=1, padding="SAME"), eps)
+            return tf.nn.relu(sc + r)
+
+        y = _conv_same(pn["conv1"], x, 7, 2, eps)
+        y = tf.nn.max_pool2d(y, 3, 2, "SAME")
+        for bi, n_units in enumerate((3, 4, 6, 3), 1):
+            for ui in range(1, n_units + 1):
+                stride = 2 if (ui == n_units and bi < 4) else 1
+                y = bottleneck(
+                    pn[f"block{bi}"][f"unit_{ui}"]["bottleneck_v1"], y,
+                    stride)
+        want = y.numpy()
+        assert want.shape == (1, 2, 2, 2048)
+
+        net, _ = rv1.apply(p, jnp.asarray(x), "resnet_v1_50")
+        np.testing.assert_allclose(np.asarray(net), want,
+                                   rtol=2e-3, atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(rv1.pooled_features(net)),
+            tf.reduce_mean(y, axis=[1, 2]).numpy(), rtol=2e-3, atol=5e-3)
+
+
 class TestResnetV2Golden:
     def test_root_and_block1_matches_tf(self, rng):
         """Preact bottlenecks: biased unnormalized root, shortcut taken
