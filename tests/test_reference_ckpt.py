@@ -1,0 +1,306 @@
+"""Reference trained-model (`model_compact-N`) checkpoint conversion.
+
+The reference publishes pretrained COMIC models as TF1 checkpoints holding
+every variable under the `Model/` scope (/root/reference/src/train_fn.py:66-70,
+README.md:22-23). No real pretrained models ship in this image, so these
+tests manufacture genuine TF1-format checkpoints carrying every
+reference-named decoder + CNN variable (full scope chains derived from
+/root/reference/src/model.py:50-55, model_base.py:109-184,531-757 and
+/root/reference/common/ops_rnn.py:403-565,735-739 — documented in
+comic_tpu/utils/tf_checkpoint.py), then drive the full conversion path:
+
+    TF ckpt on disk -> tf.train.load_checkpoint -> convert_reference_tree
+    -> model_compact-N.msgpack -> restore_model (mode 'model')
+
+and check the restored params are bit-identical to the planted arrays.
+Optimizer slots and TF-uniquified eval-graph duplicate scopes
+('decoder_1/...', 'output_projection_1/...') are planted with junk values
+to verify they are skipped.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from comic_tpu.configuration import Config
+from comic_tpu.models.captioner import build_model_spec, init_params
+from comic_tpu.tokenization import PAD, UNK, GO, EOS, Vocabulary
+from comic_tpu.training import checkpoints as ckpt
+from comic_tpu.utils import tf_checkpoint as tfc
+
+tf = pytest.importorskip("tensorflow")
+
+WRAP = "Model/decoder/rnn_decoder/decoder/multi_head_attention_wrapper_v3"
+RNN_DEC = "Model/decoder/rnn_decoder"
+
+
+def _vocab(n_words=6):
+    wtoi = {PAD: -1}
+    for i in range(n_words):
+        wtoi[f"w{i}"] = i
+    wtoi[UNK] = n_words
+    wtoi[GO] = n_words + 1
+    wtoi[EOS] = n_words + 2
+    return Vocabulary(wtoi)
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        name = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, name))
+        else:
+            out[name] = np.asarray(v)
+    return out
+
+
+def _rand_like(rng, tree):
+    return jax.tree_util.tree_map(
+        lambda x: rng.standard_normal(np.shape(x)).astype(np.float32), tree)
+
+
+def _reference_var_names(config, dec_tpl):
+    """comic_tpu decoder param path -> full reference TF1 variable name.
+
+    These are the exact names a reference train graph creates (see
+    tf_checkpoint.py's scope-chain derivation). The cell's variables live
+    under rnn_init_input/ for the default first_input init (the first cell
+    call happens there, model_base.py:673-685) and under the decode-loop
+    wrapper scope for project_hidden (first call is inside the wrapper).
+    """
+    cell_scope = (f"{RNN_DEC}/rnn_init_input"
+                  if config.rnn_init_method == "first_input" else WRAP)
+    names = {
+        ("embedding",): f"{RNN_DEC}/embedding_map",
+        ("output_projection", "kernel"): f"{RNN_DEC}/output_projection/kernel",
+        ("output_projection", "bias"): f"{RNN_DEC}/output_projection/bias",
+        ("attention", "memory_layer", "kernel"):
+            f"{RNN_DEC}/memory_layer/kernel",
+        ("attention", "query_layer", "kernel"):
+            f"{WRAP}/multi_add_attention/query_layer/kernel",
+        ("attention", "v"): f"{WRAP}/multi_add_attention/attention_v",
+        ("attention", "ln", "scale"):
+            f"{WRAP}/multi_add_attention/LN_tanh/gamma",
+        ("attention", "ln", "bias"):
+            f"{WRAP}/multi_add_attention/LN_tanh/beta",
+        ("attention", "softmax_temperature"): f"{WRAP}/softmax_temperature",
+        ("attention", "value_layer", "kernel"):
+            f"{RNN_DEC}/value_layer/kernel",
+        ("attention", "a_layer", "kernel"): f"{WRAP}/a_layer/kernel",
+        ("rnn_init_input", "kernel"):
+            f"{RNN_DEC}/rnn_init_input/projection/weight",
+        ("rnn_initial_state", "kernel"):
+            f"{RNN_DEC}/rnn_initial_state/weight",
+        ("cell", "kernel"): f"{cell_scope}/basic_lstm_cell/kernel",
+        ("cell", "bias"): f"{cell_scope}/basic_lstm_cell/bias",
+        ("cell", "gate_kernel"): f"{cell_scope}/gru_cell/gates/kernel",
+        ("cell", "gate_bias"): f"{cell_scope}/gru_cell/gates/bias",
+        ("cell", "cand_kernel"): f"{cell_scope}/gru_cell/candidate/kernel",
+        ("cell", "cand_bias"): f"{cell_scope}/gru_cell/candidate/bias",
+    }
+    out = {}
+    for path, _ in _flat_paths(dec_tpl):
+        if path not in names:
+            raise AssertionError(f"No reference name for {path}")
+        out[path] = names[path]
+    return out
+
+
+def _flat_paths(tree, prefix=()):
+    for k, v in tree.items():
+        path = prefix + (k,)
+        if isinstance(v, dict):
+            yield from _flat_paths(v, path)
+        else:
+            yield path, v
+
+
+def _write_tf1_checkpoint(directory, name_to_array, step=777):
+    v1 = tf.compat.v1
+    g = v1.Graph()
+    with g.as_default():
+        for name, arr in name_to_array.items():
+            v1.get_variable(name, initializer=tf.constant(np.asarray(arr)))
+        saver = v1.train.Saver()
+        with v1.Session(graph=g) as sess:
+            sess.run(v1.global_variables_initializer())
+            return saver.save(
+                sess, os.path.join(directory, f"model_compact-{step}"),
+                write_meta_graph=False)
+
+
+def _manufacture(config, rng, tmp_path, plant_junk=True):
+    """Build (source arrays dict, ckpt path, template, spec) for a config."""
+    vocab = _vocab()
+    spec = build_model_spec(config, vocab)
+    template = init_params(jax.random.PRNGKey(0), spec)
+    source = _rand_like(rng, template)
+
+    tf_vars = {}
+    # CNN under Model/encoder/cnn/<RootScope>/
+    root = tfc.ROOT_SCOPES[config.cnn_name]
+    prefix = f"Model/encoder/cnn/{root}" if root else "Model/encoder/cnn"
+    tf_vars.update(_flatten(source["encoder"]["cnn"], prefix))
+    if "LN_tanh" in source["encoder"]:
+        tf_vars["Model/encoder/LN_tanh/gamma"] = \
+            source["encoder"]["LN_tanh"]["scale"]
+        tf_vars["Model/encoder/LN_tanh/beta"] = \
+            source["encoder"]["LN_tanh"]["bias"]
+        tf_vars["Model/encoder/im_embed/weight"] = \
+            source["encoder"]["im_embed"]["kernel"]
+    names = _reference_var_names(config, template["decoder"])
+    for path, leaf in _flat_paths(source["decoder"]):
+        tf_vars[names[path]] = np.asarray(leaf)
+
+    if plant_junk:
+        # optimizer slots + eval-graph TF-uniquified duplicates: junk
+        # values that MUST NOT survive conversion
+        k = f"{RNN_DEC}/output_projection/kernel"
+        tf_vars[k + "/Adam"] = np.full_like(tf_vars[k], 7.0)
+        tf_vars[k + "/Adam_1"] = np.full_like(tf_vars[k], 8.0)
+        tf_vars["global_step"] = np.int64(123)
+        tf_vars[f"{RNN_DEC}/output_projection_1/kernel"] = \
+            np.full_like(tf_vars[k], 9.0)
+        dup = ("Model/decoder/rnn_decoder/decoder_1/"
+               "multi_head_attention_wrapper_v3/multi_add_attention/"
+               "query_layer/kernel")
+        tf_vars[dup] = np.full_like(
+            tf_vars[f"{WRAP}/multi_add_attention/query_layer/kernel"], 5.0)
+
+    path = _write_tf1_checkpoint(tmp_path, tf_vars)
+    return source, path, template, spec, vocab
+
+
+def _assert_trees_equal(got, want, path=""):
+    assert set(got) == set(want), f"key drift at {path or '<root>'}"
+    for k in want:
+        sub = f"{path}/{k}" if path else k
+        if isinstance(want[k], dict):
+            _assert_trees_equal(got[k], want[k], sub)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k]), err_msg=sub)
+
+
+class TestReferenceCheckpointConversion:
+    def test_default_comic_roundtrip(self, rng, tmp_path):
+        """Default COMIC config (LSTM, first_input, add_LN tied) converts
+        bit-exactly and restores end to end via restore_model."""
+        config = Config(token_type="radix", radix_base=32, rnn_size=64,
+                        rnn_word_size=16, attn_num_heads=4)
+        source, path, template, spec, vocab = _manufacture(
+            config, rng, tmp_path)
+        out = tfc.convert_reference_checkpoint(path, config, vocab)
+        assert os.path.basename(out) == "model_compact-777.msgpack"
+
+        params, _, step, mode = ckpt.restore_model(template, out)
+        assert mode == "model" and step == 0
+        _assert_trees_equal(
+            jax.tree_util.tree_map(np.asarray, params), source)
+
+    def test_gru_project_hidden_independent_context(self, rng, tmp_path):
+        """Exotic combo: GRU cell (variables under the decode-loop wrapper
+        scope), project_hidden init, independent values, context layer."""
+        config = Config(token_type="radix", radix_base=32, rnn_size=64,
+                        rnn_word_size=16, attn_num_heads=4,
+                        rnn_name="GRU", rnn_init_method="project_hidden",
+                        cnn_fm_projection="independent",
+                        attn_context_layer=True)
+        source, path, template, spec, vocab = _manufacture(
+            config, rng, tmp_path)
+        out = tfc.convert_reference_checkpoint(path, config, vocab)
+        params, _, _, mode = ckpt.restore_model(template, out)
+        assert mode == "model"
+        _assert_trees_equal(
+            jax.tree_util.tree_map(np.asarray, params), source)
+
+    def test_legacy_head_word_tokens(self, rng, tmp_path):
+        """Legacy mode adds the encoder LN_tanh + im_embed head
+        (model_base.py:80-91); word tokens size the softmax from itow."""
+        config = Config(token_type="word", legacy=True, rnn_size=64,
+                        rnn_word_size=16, attn_num_heads=4)
+        source, path, template, spec, vocab = _manufacture(
+            config, rng, tmp_path)
+        out = tfc.convert_reference_checkpoint(path, config, vocab)
+        params, _, _, mode = ckpt.restore_model(template, out)
+        assert mode == "model"
+        _assert_trees_equal(
+            jax.tree_util.tree_map(np.asarray, params), source)
+
+    def test_missing_decoder_variable_fails_loudly(self, rng, tmp_path):
+        config = Config(token_type="radix", radix_base=32, rnn_size=64,
+                        rnn_word_size=16, attn_num_heads=4)
+        vocab = _vocab()
+        spec = build_model_spec(config, vocab)
+        template = init_params(jax.random.PRNGKey(0), spec)
+        source = _rand_like(rng, template)
+        tf_vars = _flatten(source["encoder"]["cnn"],
+                           "Model/encoder/cnn/InceptionV1")
+        names = _reference_var_names(config, template["decoder"])
+        for p, leaf in _flat_paths(source["decoder"]):
+            tf_vars[names[p]] = np.asarray(leaf)
+        del tf_vars[f"{RNN_DEC}/embedding_map"]
+        path = _write_tf1_checkpoint(tmp_path, tf_vars)
+        with pytest.raises(KeyError, match="embedding_map"):
+            tfc.convert_reference_checkpoint(path, config, vocab)
+
+    def test_shape_mismatch_fails_loudly(self, rng, tmp_path):
+        """A wrong config/checkpoint pairing (e.g. different rnn_size)
+        must raise, not silently mis-restore."""
+        config = Config(token_type="radix", radix_base=32, rnn_size=64,
+                        rnn_word_size=16, attn_num_heads=4)
+        _, path, _, _, vocab = _manufacture(config, rng, tmp_path,
+                                            plant_junk=False)
+        bad = Config(token_type="radix", radix_base=32, rnn_size=32,
+                     rnn_word_size=16, attn_num_heads=4)
+        with pytest.raises(ValueError, match="[Ss]hape"):
+            tfc.convert_reference_checkpoint(path, bad, vocab)
+
+
+class TestSuffixMatching:
+    """Pure (no-TF-checkpoint) converter mechanics."""
+
+    def test_pick_prefers_non_uniquified_scope(self):
+        names = ["Model/decoder/rnn_decoder/decoder_1/w/query_layer/kernel",
+                 "Model/decoder/rnn_decoder/decoder/w/query_layer/kernel"]
+        assert tfc._pick_by_suffix(names, "query_layer/kernel") == names[1]
+
+    def test_pick_ambiguous_raises(self):
+        names = ["Model/decoder/a/query_layer/kernel",
+                 "Model/decoder/b/query_layer/kernel"]
+        with pytest.raises(ValueError, match="Ambiguous"):
+            tfc._pick_by_suffix(names, "query_layer/kernel")
+
+    def test_slot_filter(self):
+        assert tfc._is_slot_var("x/kernel/Adam")
+        assert tfc._is_slot_var("x/kernel/Adam_1")
+        assert tfc._is_slot_var("global_step")
+        assert tfc._is_slot_var("x/kernel/Momentum")
+        assert not tfc._is_slot_var(
+            "Model/decoder/rnn_decoder/embedding_map")
+        # 'adam'/'ema' only match as path segments, not substrings
+        assert not tfc._is_slot_var("Model/adamant/embedding_map")
+
+    def test_suffix_map_tracks_template_options(self):
+        base = {
+            "embedding": np.zeros((4, 2)),
+            "output_projection": {"kernel": np.zeros((3, 4)),
+                                  "bias": np.zeros((4,))},
+            "cell": {"kernel": np.zeros((5, 12)), "bias": np.zeros((12,))},
+            "attention": {"query_layer": {"kernel": np.zeros((3, 3))},
+                          "memory_layer": {"kernel": np.zeros((6, 3))},
+                          "v": np.zeros((3,)),
+                          "ln": {"scale": np.ones((3,)),
+                                 "bias": np.zeros((3,))},
+                          "softmax_temperature": np.float32(5.0)},
+            "rnn_init_input": {"kernel": np.zeros((7, 5))},
+        }
+        suffixes = dict(tfc.decoder_suffix_map(base))
+        assert "basic_lstm_cell/kernel" in suffixes
+        assert "value_layer/kernel" not in suffixes
+        assert "a_layer/kernel" not in suffixes
+        assert "rnn_initial_state/weight" not in suffixes
