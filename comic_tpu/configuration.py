@@ -203,4 +203,11 @@ def load_config(path: str) -> Config:
             d = pickle.load(f, encoding="latin1")
     if not isinstance(d, dict):  # reference pickles the Config instance dict
         d = d.__dict__
+    # Migration: num_data_shards defaulted to the inert value 1 before it
+    # was wired as a mesh-size cap (0 = uncapped). config.pkl files from
+    # those runs carry 1, which would now silently serialize onto one
+    # device — treat the old default as unset.
+    if d.get("num_data_shards") == 1:
+        d = dict(d)
+        d["num_data_shards"] = 0
     return Config(**d)

@@ -259,19 +259,28 @@ def sweep_checkpoints(config: Config,
         pipe = InferencePipeline(config)
     results = {}
     for name in names:
-        # suffixless: load_compact resolves msgpack or orbax on disk
+        # suffixless: load_compact resolves msgpack/orbax/TF on disk
         path = pjoin(config.log_path, name)
-        try:
-            scores = evaluate_model(config, path, annotations_file, jar_dir,
-                                    serve=serve, pipe=pipe,
-                                    run_infer=run_infer,
-                                    get_metric_score=get_metric_score,
-                                    save_attention=save_attention)
-        except FileNotFoundError as e:
-            # one pruned/mistyped --infer_checkpoints number shouldn't
-            # throw away the checkpoints already evaluated
-            print(f"WARNING: skipping {name}: {e}")
-            continue
+        json_done = os.path.exists(
+            pjoin(config.log_path, infer_dir_name(config),
+                  f"captions___{name}.json"))
+        if run_infer and not json_done:
+            try:
+                # one pruned/mistyped --infer_checkpoints number shouldn't
+                # throw away the checkpoints already evaluated — but ONLY
+                # checkpoint resolution is forgiven; dataset/annotation
+                # errors inside evaluate_model must propagate (the
+                # reference existence-checks just the ckpt .index,
+                # infer.py:92-97)
+                ckpt._resolve(path, ckpt.COMPACT_PREFIX)
+            except FileNotFoundError as e:
+                print(f"WARNING: skipping {name}: {e}")
+                continue
+        scores = evaluate_model(config, path, annotations_file, jar_dir,
+                                serve=serve, pipe=pipe,
+                                run_infer=run_infer,
+                                get_metric_score=get_metric_score,
+                                save_attention=save_attention)
         if scores is not None:
             results[name] = scores
     return results

@@ -225,6 +225,21 @@ def _register_mobilenet_v2():
                      "Conv_1": 1280},
         preprocessing="inception",
     ))
+    # depth-multiplier 1.4 registry variant
+    # (/root/reference/common/net_params.py:85-90): every channel count
+    # through make_divisible(c * 1.4, 8) -> 96->136, 320->448, 1280->1792
+    register(EncoderSpec(
+        name="mobilenet_v2_140",
+        init=lambda key: m2.init_params(key, depth_multiplier=1.4),
+        apply=m2.apply,
+        pooled=m2.pooled_features,
+        default_image_size=m2.DEFAULT_IMAGE_SIZE,
+        feature_dim=m2.feature_dim(1.4),
+        default_fm_endpoint="expanded_conv_12",
+        fm_channels={"expanded_conv_12": 136, "expanded_conv_16": 448,
+                     "Conv_1": 1792},
+        preprocessing="inception",
+    ))
 
 
 _register_inception_v4()

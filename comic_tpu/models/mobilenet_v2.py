@@ -53,32 +53,63 @@ def _block_names() -> List[str]:
     return names
 
 
-def init_params(key) -> Params:
+def make_divisible(v: float, divisor: int = 8) -> int:
+    """slim conv_blocks._make_divisible: round to the nearest multiple of
+    `divisor`, never dropping more than 10% of the value."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def feature_dim(depth_multiplier: float = 1.0) -> int:
+    """Final Conv_1 width. For multiplier >= 1 slim scales it like every
+    other layer (finegrain_classification_mode applies only below 1,
+    mobilenet_v2.py mobilenet()): 1.4 -> 1792."""
+    if depth_multiplier == 1.0:
+        return FEATURE_DIM
+    return make_divisible(FEATURE_DIM * depth_multiplier)
+
+
+def init_params(key, depth_multiplier: float = 1.0) -> Params:
+    """The 1.4 registry variant (mobilenet_v2_140,
+    /root/reference/common/net_params.py:85-90) multiplies every channel
+    count through make_divisible(c * 1.4, 8); `apply` reads channel counts
+    from the param shapes, so only init changes."""
+    def depth(c):
+        return (c if depth_multiplier == 1.0
+                else make_divisible(c * depth_multiplier))
+
     params: Params = {}
     key, k0 = jax.random.split(key)
-    params["Conv"] = {"weights": _w(k0, (3, 3, 3, 32)), "BatchNorm": _bn(32)}
-    cin = 32
+    c0 = depth(32)
+    params["Conv"] = {"weights": _w(k0, (3, 3, 3, c0)), "BatchNorm": _bn(c0)}
+    cin = c0
     idx = 0
     for t, c, n, s in _IR_TABLE:
         for r in range(n):
             name = "expanded_conv" if idx == 0 else f"expanded_conv_{idx}"
             key, ke, kd, kp = jax.random.split(key, 4)
             block: Params = {}
-            mid = cin * t
+            cout = depth(c)
+            # expansion size from the (multiplied) INPUT channels:
+            # expand_input_by_factor(6) -> make_divisible(cin * 6, 8)
+            mid = cin if t == 1 else make_divisible(cin * t)
             if t != 1:
                 block["expand"] = {"weights": _w(ke, (1, 1, cin, mid)),
                                    "BatchNorm": _bn(mid)}
             block["depthwise"] = {
                 "depthwise_weights": _w(kd, (3, 3, mid, 1)),
                 "BatchNorm": _bn(mid)}
-            block["project"] = {"weights": _w(kp, (1, 1, mid, c)),
-                                "BatchNorm": _bn(c)}
+            block["project"] = {"weights": _w(kp, (1, 1, mid, cout)),
+                                "BatchNorm": _bn(cout)}
             params[name] = block
-            cin = c
+            cin = cout
             idx += 1
     key, k1 = jax.random.split(key)
-    params["Conv_1"] = {"weights": _w(k1, (1, 1, cin, FEATURE_DIM)),
-                        "BatchNorm": _bn(FEATURE_DIM)}
+    fdim = feature_dim(depth_multiplier)
+    params["Conv_1"] = {"weights": _w(k1, (1, 1, cin, fdim)),
+                        "BatchNorm": _bn(fdim)}
     return params
 
 

@@ -37,11 +37,26 @@ def make_mesh_for_batch(*batch_sizes: int, limit: int = 0) -> Mesh:
     8-device mesh. `limit` > 0 caps the mesh size
     (config.num_data_shards; 0 = use every divisible device).
     """
-    n = len(jax.devices())
+    n_avail = len(jax.devices())
+    n = n_avail
     if limit and limit > 0:
         n = min(n, int(limit))
+    capped = n
     while n > 1 and any(b % n for b in batch_sizes):
         n -= 1
+    if n < capped:
+        # Loud guardrail: on a real slice every dropped device is idle
+        # silicon (SCST's reference batch 10 on 8 devices -> 5 used, 37%
+        # idle). Fix by padding the batch or picking a divisible one.
+        idle = capped - n
+        hints = sorted({max(round(b / capped), 1) * capped
+                        for b in batch_sizes})
+        print(
+            f"WARNING: batch size(s) {sorted(set(batch_sizes))} are not "
+            f"divisible by {capped} devices; using a {n}-device mesh "
+            f"({idle} device{'s' if idle != 1 else ''} IDLE). Choose a "
+            f"batch divisible by {capped} (nearby: {hints}) to use the "
+            "full slice.")
     return make_mesh(n)
 
 

@@ -39,6 +39,7 @@ FULL_PREFIX = "model-"
 COMPACT_PREFIX = "model_compact-"
 _SUFFIX = ".msgpack"
 _ORBAX_SUFFIX = ".orbax"
+_TF_SUFFIX = ".index"  # TF V2-format checkpoints (reference model_compact-N)
 
 
 def _to_numpy(tree):
@@ -71,11 +72,13 @@ def _prune(directory: str, prefix: str, keep: int) -> None:
 def list_checkpoints(directory: str, prefix: str = COMPACT_PREFIX
                      ) -> List[str]:
     """Checkpoint basenames (no suffix), natural-sorted ascending.
-    Recognizes both msgpack files and orbax directories."""
+    Recognizes msgpack files, orbax directories, and reference TF
+    checkpoints (`model_compact-N.index`, converted on load)."""
     if not os.path.isdir(directory):
         return []
     pat = re.compile(re.escape(prefix) + r"\d+"
-                     + f"({re.escape(_SUFFIX)}|{re.escape(_ORBAX_SUFFIX)})$")
+                     + f"({re.escape(_SUFFIX)}|{re.escape(_ORBAX_SUFFIX)}"
+                     + f"|{re.escape(_TF_SUFFIX)})$")
     names = {f[: f.rfind(".")] for f in os.listdir(directory)
              if pat.match(f)}
     return sorted(names, key=natural_key)
@@ -215,6 +218,15 @@ class OrbaxCheckpointer:
         self.wait()
         _prune(directory, COMPACT_PREFIX, max(max_saves - 1, 1))
         _prune(directory, FULL_PREFIX, 1)
+        # Snapshot to host BEFORE handing off to orbax's async save: the
+        # caller's next jitted step may donate these same device buffers,
+        # and on the axon-tunneled backend orbax's pre-return d2h copy
+        # guarantee cannot be assumed (block_until_ready does not actually
+        # synchronize there — CLAUDE.md). Same policy as the msgpack
+        # saver's _to_numpy snapshot.
+        params = _to_numpy(params)
+        if opt_state is not None:
+            opt_state = _to_numpy(opt_state)
         compact = os.path.join(
             directory, f"{COMPACT_PREFIX}{int(step)}{_ORBAX_SUFFIX}")
         self._compact.save(compact, args=ocp.args.StandardSave(params),
@@ -246,12 +258,31 @@ def make_saver(backend: str = "msgpack"):
 
 
 def load_compact(path_or_dir: str, template: Params) -> Params:
-    """Load a compact checkpoint into the shape of `template`."""
+    """Load a compact checkpoint into the shape of `template`.
+
+    Dispatches on the on-disk artifact: msgpack file, orbax directory, or
+    a reference TF `model_compact-N` checkpoint (converted in memory via
+    utils.tf_checkpoint — the parity path for published COMIC models)."""
     path = _resolve(path_or_dir, COMPACT_PREFIX)
+    if path.endswith(_TF_SUFFIX):
+        return _tf_reference_restore(path[: -len(_TF_SUFFIX)], template)
     if path.endswith(_ORBAX_SUFFIX):
         return _orbax_restore(path, template)
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+def _tf_reference_restore(tf_path: str, template: Params) -> Params:
+    from ..utils import tf_checkpoint as tfc
+
+    if not (isinstance(template, dict) and "encoder" in template
+            and "decoder" in template):
+        raise ValueError(
+            f"{tf_path} is a TF checkpoint, but the restore target is not "
+            "a full model params tree — convert it explicitly "
+            "(utils.tf_checkpoint) instead.")
+    return tfc.convert_reference_tree(
+        tfc.load_reference_checkpoint_vars(tf_path), template)
 
 
 def load_full(path_or_dir: str, template_state: Dict[str, Any]
@@ -268,7 +299,7 @@ def _resolve(path_or_dir: str, prefix: str) -> str:
         return path_or_dir
     if path_or_dir.endswith(_ORBAX_SUFFIX) and os.path.isdir(path_or_dir):
         return path_or_dir
-    for suffix in (_SUFFIX, _ORBAX_SUFFIX):
+    for suffix in (_SUFFIX, _ORBAX_SUFFIX, _TF_SUFFIX):
         if os.path.exists(path_or_dir + suffix):
             return path_or_dir + suffix
     names = list_checkpoints(path_or_dir, prefix)
@@ -276,8 +307,10 @@ def _resolve(path_or_dir: str, prefix: str) -> str:
         raise FileNotFoundError(
             f"No {prefix}* checkpoints under {path_or_dir}")
     base = os.path.join(path_or_dir, names[-1])
-    return base + (_SUFFIX if os.path.exists(base + _SUFFIX)
-                   else _ORBAX_SUFFIX)
+    for suffix in (_SUFFIX, _ORBAX_SUFFIX, _TF_SUFFIX):
+        if os.path.exists(base + suffix):
+            return base + suffix
+    return base + _ORBAX_SUFFIX
 
 
 def restore_with_excludes(params: Params, restored: Params,
@@ -325,16 +358,27 @@ def restore_model(params: Params, checkpoint_path: Optional[str], *,
         pass
 
     # CNN-only restore: a converted slim checkpoint holding just the
-    # encoder/cnn subtree (model_base.py:471-484).
+    # encoder/cnn subtree (model_base.py:471-484), or a vanilla slim TF
+    # ImageNet checkpoint converted in memory (root scope auto-detected).
     cnn_tpl = params["encoder"]["cnn"]
     path = checkpoint_path
     if os.path.isdir(path):
-        cands = [f for f in os.listdir(path) if f.endswith(_SUFFIX)]
+        cands = [f for f in os.listdir(path)
+                 if f.endswith(_SUFFIX) or f.endswith(_TF_SUFFIX)]
         if not cands:
             raise FileNotFoundError(f"No checkpoint under {path}")
         path = os.path.join(path, sorted(cands)[-1])
-    with open(path, "rb") as f:
-        cnn = serialization.from_bytes(cnn_tpl, f.read())
+    if path.endswith(_TF_SUFFIX):
+        path = path[: -len(_TF_SUFFIX)]
+    if os.path.exists(path + _TF_SUFFIX):
+        from ..utils import tf_checkpoint as tfc
+
+        tree = tfc._detect_cnn_tree(
+            tfc.load_reference_checkpoint_vars(path), "", cnn_tpl)
+        cnn = tfc.convert_slim_tree(tree, cnn_tpl)
+    else:
+        with open(path, "rb") as f:
+            cnn = serialization.from_bytes(cnn_tpl, f.read())
     out = dict(params)
     out["encoder"] = dict(params["encoder"])
     out["encoder"]["cnn"] = cnn

@@ -335,9 +335,9 @@ def train_fn_scst(config: Config, *,
     return metrics
 
 
-def _finish_step(pending, state, train_step, scorer, config, vocab, width,
-                 k_train, writer, step, schedule, mesh=None):
-    """Host half of one SCST step.
+def host_score_shard(greedy_ids, beam_ids, refs, scorer, config, vocab,
+                     width, mesh=None):
+    """Host scoring half of one SCST step -> (hypo_ids, rewards, metrics).
 
     Multi-host (SURVEY §7 step 8): each host pulls only ITS addressable
     shard of the decoded ids (`local_batch`), scores rewards for its images
@@ -349,12 +349,14 @@ def _finish_step(pending, state, train_step, scorer, config, vocab, width,
     model_base.py:286-288); rows are reordered IMAGE-major before the train
     step so per-host blocks stay contiguous (see make_scst_train_step).
     Single-host the gather helpers are identity.
+
+    Exercised for real across 2 jax.distributed processes by
+    tests/test_multihost.py.
     """
     import jax as _jax
 
     from ..parallel.mesh import global_batch, local_batch, local_batch_start
 
-    (greedy_ids, beam_ids, im_embed, fmaps), refs = pending
     n_proc = _jax.process_count()
     if n_proc > 1:
         # contiguous per-host row block of the global batch
@@ -385,6 +387,16 @@ def _finish_step(pending, state, train_step, scorer, config, vocab, width,
     if mesh is not None:
         hypo_ids = global_batch(mesh, hypo_ids)
         rewards = global_batch(mesh, rewards)
+    return hypo_ids, rewards, score_metrics
+
+
+def _finish_step(pending, state, train_step, scorer, config, vocab, width,
+                 k_train, writer, step, schedule, mesh=None):
+    """Host half of one SCST step: score the pending rollout
+    (host_score_shard), then dispatch the reward-weighted train step."""
+    (greedy_ids, beam_ids, im_embed, fmaps), refs = pending
+    hypo_ids, rewards, score_metrics = host_score_shard(
+        greedy_ids, beam_ids, refs, scorer, config, vocab, width, mesh=mesh)
     state, metrics = train_step(state, im_embed, fmaps, hypo_ids,
                                 rewards, k_train)
     metrics = {k: float(v) for k, v in metrics.items()}

@@ -228,12 +228,21 @@ def make_eval_step(spec: ModelSpec, config: Config,
 
 
 def evaluate_perplexity(eval_step, params, pipeline) -> float:
-    """Mean eval log-perplexity over one pass (train_fn.py:320-338)."""
+    """Mean eval log-perplexity over one pass (train_fn.py:320-338).
+
+    Dispatches the whole pass pipelined and converts to host floats only
+    at the end: a per-batch float() would pay the ~3.8 ms dispatch floor
+    of the tunneled backend x eval batches at every checkpoint
+    (CLAUDE.md per-dispatch-floor note)."""
     losses = []
     for images, caps in pipeline.epoch():
         # raw numpy in: jit shards + transfers per its in_shardings
-        losses.append(float(eval_step(params, images, caps)))
-    return float(np.exp(np.mean(losses))) if losses else float("nan")
+        losses.append(eval_step(params, images, caps))
+    if not losses:
+        return float("nan")
+    # one stacked transfer instead of a per-scalar sync (each sync is a
+    # full tunnel round trip on this backend)
+    return float(np.exp(np.mean(np.asarray(jnp.stack(losses)))))
 
 
 def _resolve_vocab(config: Config) -> Vocabulary:

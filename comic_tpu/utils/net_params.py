@@ -56,6 +56,10 @@ NET_PARAMS: Dict[str, Dict[str, str]] = {
         url=("https://storage.googleapis.com/mobilenet_v2/checkpoints/"
              "mobilenet_v2_1.0_224.tgz"),
         ckpt="mobilenet_v2_1.0_224.ckpt"),
+    "mobilenet_v2_140": dict(  # net_params.py:85-90
+        url=("https://storage.googleapis.com/mobilenet_v2/checkpoints/"
+             "mobilenet_v2_1.4_224.tgz"),
+        ckpt="mobilenet_v2_1.4_224.ckpt"),
 }
 
 

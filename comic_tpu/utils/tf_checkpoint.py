@@ -45,6 +45,13 @@ ROOT_SCOPES: Dict[str, str] = {
     "vgg_19": "vgg_19",
     "mobilenet_v1": "MobilenetV1",
     "mobilenet_v2": "MobilenetV2",
+    "mobilenet_v2_140": "MobilenetV2",
+    # nasnet/pnasnet checkpoints carry NO root scope (slim builds them
+    # without an outer variable_scope: cell_stem_0/..., conv0/...)
+    "nasnet_mobile": "",
+    "nasnet_large": "",
+    "pnasnet_mobile": "",
+    "pnasnet_large": "",
 }
 
 # classifier / aux-head scopes dropped during conversion — every encoder is
@@ -75,7 +82,7 @@ def slim_reader_to_tree(name_to_array: Dict[str, np.ndarray],
     """{var name: array} -> nested param dict matching the encoder's
     init_params tree (root scope stripped, classifier heads dropped)."""
     tree: Dict[str, Any] = {}
-    prefix = root_scope + "/"
+    prefix = root_scope + "/" if root_scope else ""
     for name, arr in name_to_array.items():
         if not name.startswith(prefix):
             continue
@@ -133,19 +140,51 @@ def verify_tree_shapes(converted: Dict[str, Any],
                     f"model {tuple(tpl.shape)}")
 
 
+def _flatten_leaves(tree: Dict[str, Any], prefix: str = ""
+                    ) -> Dict[str, Any]:
+    """{'a': {'b': x}} -> {'a/b': x}. Keys that already contain '/'
+    (nasnet's compound scope-path leaf keys) join transparently."""
+    out: Dict[str, Any] = {}
+    for k, v in tree.items():
+        name = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_leaves(v, name))
+        else:
+            out[name] = v
+    return out
+
+
 def convert_slim_tree(converted: Dict[str, Any], template: Dict[str, Any]
                       ) -> Dict[str, Any]:
     """Shape-verify and re-key a stripped slim tree onto the template's
-    treedef (guarantees an identical pytree structure for restore)."""
-    verify_tree_shapes(converted, template)
+    treedef (guarantees an identical pytree structure for restore).
 
-    def merge(tpl, conv):
+    Matching is on slash-joined flat names, so the two sides may nest
+    differently (nasnet/pnasnet param stores keep compound keys like
+    'separable_5x5_1/depthwise_weights' as single leaves while checkpoint
+    names split on every '/')."""
+    flat_src = _flatten_leaves(converted)
+    flat_tpl = _flatten_leaves(template)
+    missing = sorted(k for k in flat_tpl if k not in flat_src)
+    if missing:
+        raise KeyError(
+            f"Missing converted variable(s): {missing[:5]}"
+            f"{'...' if len(missing) > 5 else ''}")
+    for k, tpl in flat_tpl.items():
+        got = np.asarray(flat_src[k])
+        if tuple(got.shape) != tuple(np.shape(tpl)):
+            raise ValueError(
+                f"Shape mismatch at {k}: ckpt {got.shape} vs "
+                f"model {tuple(np.shape(tpl))}")
+
+    def merge(tpl, path):
         if isinstance(tpl, dict):
             # leafless template subtrees (pool branches) stay empty
-            return {k: merge(tpl[k], conv.get(k, {})) for k in tpl}
-        return np.asarray(conv, dtype=np.float32)
+            return {k: merge(tpl[k], f"{path}/{k}" if path else k)
+                    for k in tpl}
+        return np.asarray(flat_src[path], dtype=np.float32)
 
-    return merge(template, converted)
+    return merge(template, "")
 
 
 def _strip_prefix_tree(name_to_array: Dict[str, np.ndarray], prefix: str,
@@ -351,19 +390,37 @@ def _pick_by_suffix(names, suffix: str) -> Optional[str]:
     return best
 
 
+def _detect_cnn_tree(name_to_array: Dict[str, np.ndarray], prefix: str,
+                     template_cnn: Dict[str, Any]) -> Dict[str, Any]:
+    """Strip `prefix` and auto-detect whether a slim root scope follows
+    (InceptionV1/..., resnet_v1_50/...) or not (nasnet/pnasnet variables
+    are rootless: cell_stem_0/..., conv0/...), by matching the template's
+    top-level keys."""
+    tree0 = _strip_prefix_tree(name_to_array, prefix, "")
+    if not tree0:
+        raise ValueError(f"No CNN variables under {prefix!r}")
+    tpl_flat = set(_flatten_leaves(template_cnn))
+    if set(_flatten_leaves(tree0)) & tpl_flat:
+        return tree0
+    if len(tree0) == 1:
+        (root, sub), = tree0.items()
+        if isinstance(sub, dict) and set(_flatten_leaves(sub)) & tpl_flat:
+            return sub
+    raise ValueError(
+        f"CNN variables under {prefix!r} (top scopes {sorted(tree0)[:4]}...)"
+        f" do not match the model's encoder tree")
+
+
 def convert_reference_tree(name_to_array: Dict[str, np.ndarray],
                            template_params: Dict[str, Any],
-                           cnn_name: str) -> Dict[str, Any]:
+                           cnn_name: Optional[str] = None) -> Dict[str, Any]:
     """{TF var name: array} from a reference Model checkpoint -> full
     comic_tpu params pytree {encoder, decoder} matching `template_params`.
 
-    Raises KeyError/ValueError on missing variables or shape drift so a
-    wrong model/config pairing fails loudly.
+    With `cnn_name=None` the slim root scope is auto-detected against the
+    template. Raises KeyError/ValueError on missing variables or shape
+    drift so a wrong model/config pairing fails loudly.
     """
-    root_scope = ROOT_SCOPES.get(cnn_name)
-    if root_scope is None:
-        raise ValueError(f"No converter wiring for {cnn_name}; "
-                         f"known: {sorted(ROOT_SCOPES)}")
     model_vars = {n: a for n, a in name_to_array.items()
                   if n.startswith("Model/") and not _is_slot_var(n)}
     if not model_vars:
@@ -371,7 +428,15 @@ def convert_reference_tree(name_to_array: Dict[str, np.ndarray],
                          "trained-model checkpoint?")
 
     # --- encoder ---
-    cnn_tree = _strip_prefix_tree(model_vars, _CNN_PREFIX, root_scope)
+    if cnn_name is None:
+        cnn_tree = _detect_cnn_tree(model_vars, _CNN_PREFIX,
+                                    template_params["encoder"]["cnn"])
+    else:
+        root_scope = ROOT_SCOPES.get(cnn_name)
+        if root_scope is None:
+            raise ValueError(f"No converter wiring for {cnn_name}; "
+                             f"known: {sorted(ROOT_SCOPES)}")
+        cnn_tree = _strip_prefix_tree(model_vars, _CNN_PREFIX, root_scope)
     encoder = {"cnn": convert_slim_tree(cnn_tree,
                                         template_params["encoder"]["cnn"])}
     enc_tpl = template_params["encoder"]

@@ -55,6 +55,19 @@ def test_load_py2_style_pickle(tmp_path):
     assert c.rnn_size == 77
 
 
+def test_load_migrates_inert_num_data_shards(tmp_path):
+    """Old config.pkls carry num_data_shards=1 (the pre-wiring default);
+    loading must treat it as unset (0), not as a 1-device mesh cap."""
+    p = tmp_path / "config.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"num_data_shards": 1, "rnn_size": 5}, f, protocol=2)
+    assert load_config(str(p)).num_data_shards == 0
+    # a deliberate cap of 2 survives
+    with open(p, "wb") as f:
+        pickle.dump({"num_data_shards": 2}, f, protocol=2)
+    assert load_config(str(p)).num_data_shards == 2
+
+
 def test_overwrite_safety(tmp_path):
     c = Config(log_path=str(tmp_path))
     c.save()

@@ -188,6 +188,29 @@ class TestMobilenetV2:
         assert 2.0e6 < n < 2.5e6, n
         assert "mobilenet_v2" in available_encoders()
 
+    def test_140_variant_shapes(self):
+        """mobilenet_v2_140 (net_params.py:85-90): every channel through
+        make_divisible(c * 1.4, 8) — published 1.4_224 widths."""
+        from comic_tpu.models import mobilenet_v2 as m2
+        assert m2.make_divisible(32 * 1.4) == 48
+        assert m2.make_divisible(96 * 1.4) == 136
+        assert m2.feature_dim(1.4) == 1792
+        p = m2.init_params(jax.random.PRNGKey(0), depth_multiplier=1.4)
+        assert p["Conv"]["weights"].shape == (3, 3, 3, 48)
+        x = jnp.zeros((1, 224, 224, 3))
+        net, ep = m2.apply(p, x)
+        assert ep["expanded_conv_12"].shape == (1, 14, 14, 136)
+        assert ep["expanded_conv_16"].shape == (1, 7, 7, 448)
+        assert ep["Conv_1"].shape == (1, 7, 7, 1792)
+        n = count_params(p)
+        # published 1.4 backbone ~4.3M params
+        assert 3.9e6 < n < 4.8e6, n
+        assert "mobilenet_v2_140" in available_encoders()
+        from comic_tpu.models.encoders import get_encoder
+        spec = get_encoder("mobilenet_v2_140")
+        assert spec.feature_dim == 1792
+        assert spec.fm_channels["expanded_conv_12"] == 136
+
 
 class TestInceptionV4:
     def test_shapes_299(self):

@@ -261,6 +261,64 @@ class TestReferenceCheckpointConversion:
             tfc.convert_reference_checkpoint(path, bad, vocab)
 
 
+class TestTransparentTFRestore:
+    """The load path dispatches on the on-disk artifact: a reference TF
+    checkpoint restores without explicit pre-conversion (the parity
+    playbook: point infer at a reference experiment dir and go)."""
+
+    def test_restore_model_directly_from_tf_checkpoint(self, rng, tmp_path):
+        config = Config(token_type="radix", radix_base=32, rnn_size=64,
+                        rnn_word_size=16, attn_num_heads=4)
+        source, path, template, spec, vocab = _manufacture(
+            config, rng, tmp_path)
+        # suffixless path, exactly what sweep_checkpoints builds
+        params, _, _, mode = ckpt.restore_model(template, path)
+        assert mode == "model"
+        _assert_trees_equal(
+            jax.tree_util.tree_map(np.asarray, params), source)
+
+    def test_discovery_lists_tf_checkpoints(self, rng, tmp_path):
+        config = Config(token_type="radix", radix_base=32, rnn_size=64,
+                        rnn_word_size=16, attn_num_heads=4)
+        _manufacture(config, rng, tmp_path)
+        names = ckpt.select_eval_checkpoints(str(tmp_path))
+        assert names == ["model_compact-777"]
+        assert ckpt.list_checkpoints(str(tmp_path)) == ["model_compact-777"]
+
+    def test_restore_model_from_raw_slim_tf_checkpoint(self, rng, tmp_path):
+        """A vanilla slim ImageNet ckpt (no Model/ scope) hits the 3-way
+        restore's CNN branch (model_base.py:471-484) with auto root."""
+        from comic_tpu.models.encoders import get_encoder
+
+        config = Config(token_type="radix", radix_base=32, rnn_size=64,
+                        rnn_word_size=16, attn_num_heads=4)
+        vocab = _vocab()
+        spec = build_model_spec(config, vocab)
+        template = init_params(jax.random.PRNGKey(0), spec)
+        cnn_src = _rand_like(rng, template["encoder"]["cnn"])
+        tf_vars = _flatten(cnn_src, "InceptionV1")
+        v1 = tf.compat.v1
+        g = v1.Graph()
+        with g.as_default():
+            for name, arr in tf_vars.items():
+                v1.get_variable(name, initializer=tf.constant(arr))
+            saver = v1.train.Saver()
+            with v1.Session(graph=g) as sess:
+                sess.run(v1.global_variables_initializer())
+                path = saver.save(
+                    sess, os.path.join(tmp_path, "inception_v1.ckpt"),
+                    write_meta_graph=False)
+        params, _, _, mode = ckpt.restore_model(template, path)
+        assert mode == "cnn"
+        _assert_trees_equal(
+            jax.tree_util.tree_map(np.asarray,
+                                   params["encoder"]["cnn"]), cnn_src)
+        # decoder untouched (fresh init)
+        np.testing.assert_array_equal(
+            np.asarray(params["decoder"]["embedding"]),
+            np.asarray(template["decoder"]["embedding"]))
+
+
 class TestSuffixMatching:
     """Pure (no-TF-checkpoint) converter mechanics."""
 

@@ -65,6 +65,40 @@ class TestScstUnits:
         # encoded hypo row 0: GO a cat sat EOS pad
         np.testing.assert_array_equal(hypo_ids[0], [4, 0, 1, 2, 5, -1])
 
+    def test_scores_keep_numeric_order_beyond_ten_images(self):
+        """Regression: the joint gts/res dict is split back into
+        greedy/sample blocks by NUMERIC key position; a lexicographic int
+        sort (0,1,10,11,...,2,...) scrambles every reward once the dict
+        holds >= 10 keys — i.e. at any real operating point (reference
+        SCST: batch 10 x beam 7). Scores must be per-image identical to
+        scoring each image alone (CIDEr-D with a fixed IDF cache is
+        per-image independent)."""
+        from comic_tpu.evaluation.ngrams import build_idf_cache
+
+        words = [f"w{i}" for i in range(10)]
+        b = 12
+        refs = [[" ".join(words[(i + j) % 10] for j in range(5))]
+                for i in range(b)]
+        hypos = [" ".join(words[(i * 3 + j) % 10] for j in range(4))
+                 for i in range(b)]
+        greedy = [" ".join(words[(i + j) % 10] for j in range(3))
+                  for i in range(b)]
+        cache = build_idf_cache(refs)
+        import pickle, tempfile
+        with tempfile.NamedTemporaryFile(suffix=".p", delete=False) as f:
+            pickle.dump(cache, f)
+            path = f.name
+        scorer = CaptionScorer(path, {"ciderD": 1.0})
+        _, s_all, g_all = scorer.get_hypo_scores(
+            refs, [[h] for h in hypos], [[g] for g in greedy])
+        for i in range(b):
+            _, s_one, g_one = scorer.get_hypo_scores(
+                [refs[i]], [[hypos[i]]], [[greedy[i]]])
+            np.testing.assert_allclose(s_all[i], s_one[0], rtol=1e-9,
+                                       err_msg=f"sample score image {i}")
+            np.testing.assert_allclose(g_all[i], g_one[0], rtol=1e-9,
+                                       err_msg=f"greedy score image {i}")
+
 
 class TestFinishStepPairing:
     def test_hypotheses_reach_train_step_image_major(self):

@@ -65,8 +65,12 @@ def _assert_trees_equal(got, want, path=""):
                                           np.asarray(want[k]), err_msg=sub)
 
 
-@pytest.mark.parametrize("cnn_name", ["inception_v1", "mobilenet_v2"])
+@pytest.mark.parametrize("cnn_name", ["inception_v1", "mobilenet_v2",
+                                      "nasnet_mobile", "pnasnet_large"])
 def test_convert_real_tf_checkpoint_roundtrip(cnn_name, tmp_path):
+    """nasnet/pnasnet exercise the rootless-checkpoint path (no slim root
+    scope) AND the compound scope-path leaf keys of the traced param
+    store (models/nasnet.py path contract)."""
     spec = get_encoder(cnn_name)
     template = spec.init(jax.random.PRNGKey(3))
     root = tfc.ROOT_SCOPES[cnn_name]
@@ -74,12 +78,15 @@ def test_convert_real_tf_checkpoint_roundtrip(cnn_name, tmp_path):
 
     # plant classifier-head + optimizer-slot vars that MUST be dropped
     first = next(iter(src))
+    head = (f"{root}/Logits/Conv2d_0c_1x1/weights" if root
+            else "final_layer/FC/weights")  # nasnet classifier head
     extra = [
-        (f"{root}/Logits/Conv2d_0c_1x1/weights",
-         np.zeros((1, 1, 8, 1001), np.float32)),
+        (head, np.zeros((1, 1, 8, 1001), np.float32)),
         (first + "/Momentum", np.zeros_like(src[first])),
         ("global_step", np.int64(7)),
     ]
+    if not root:  # nasnet aux tower must be dropped too
+        extra.append(("aux_7/aux_bn0/beta", np.zeros((8,), np.float32)))
     ckpt_path = _write_tf1_checkpoint(str(tmp_path), src, extra)
     assert os.path.exists(ckpt_path + ".index")  # real V2-format files
 
