@@ -319,6 +319,60 @@ class TestTransparentTFRestore:
             np.asarray(template["decoder"]["embedding"]))
 
 
+@pytest.mark.slow
+def test_infer_sweep_on_reference_style_experiment_dir(rng, tmp_path):
+    """The parity playbook end to end: an experiment dir that looks
+    exactly like a reference one — config.pkl + TF `model_compact-N`
+    checkpoints, NO msgpack artifacts — sweeps through the infer driver
+    with in-memory conversion (infer.py:90-107 contract)."""
+    from comic_tpu.data.synthetic import make_synthetic_dataset
+    from comic_tpu.inference import sweep_checkpoints
+    from comic_tpu.tokenization import Vocabulary as V
+
+    root, _ = make_synthetic_dataset(
+        str(tmp_path / "d"), num_train=4, num_valid=2, num_test=4,
+        captions_per_image=1)
+    config = Config(
+        token_type="radix", radix_base=32, dataset_dir=root,
+        dataset_file_pattern="synth_{}", rnn_size=64, rnn_word_size=16,
+        attn_num_heads=4, compute_dtype="float32", cnn_input_size=(64, 64),
+        log_path=str(tmp_path / "ref_exp"), batch_size_infer=2,
+        infer_beam_size=2, infer_max_length=8, infer_set="test")
+    # vocab fields the way a finished training run records them
+    from comic_tpu.data import captions as cap_io
+    vv = cap_io.load_vocab(root, "synth_{}")
+    config.wtoi = vv.wtoi
+    config.itow = {str(k): w for k, w in vv.itow.items()}
+    config.vocab_size = len(vv.itow)
+    os.makedirs(config.log_path, exist_ok=True)
+    config.save(config.log_path)
+
+    # manufacture a reference-named TF checkpoint holding a full model
+    vocab = V.from_str_itow(config.wtoi, config.itow)
+    spec = build_model_spec(config, vocab)
+    template = init_params(jax.random.PRNGKey(1), spec)
+    source = _rand_like(rng, template)
+    tf_vars = _flatten(source["encoder"]["cnn"],
+                       "Model/encoder/cnn/InceptionV1")
+    names = _reference_var_names(config, template["decoder"])
+    for p, leaf in _flat_paths(source["decoder"]):
+        tf_vars[names[p]] = np.asarray(leaf)
+    _write_tf1_checkpoint(config.log_path, tf_vars, step=50)
+    assert not any(f.endswith(".msgpack")
+                   for f in os.listdir(config.log_path))
+
+    results = sweep_checkpoints(config, get_metric_score=False)
+    save_dir = [d for d in os.listdir(config.log_path)
+                if d.startswith("infer_")][0]
+    json_path = os.path.join(config.log_path, save_dir,
+                             "captions___model_compact-50.json")
+    assert os.path.exists(json_path)
+    import json as _json
+    with open(json_path) as f:
+        caps = _json.load(f)
+    assert len(caps) == 4 and {"image_id", "caption"} <= set(caps[0])
+
+
 class TestSuffixMatching:
     """Pure (no-TF-checkpoint) converter mechanics."""
 
