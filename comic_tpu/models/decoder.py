@@ -36,6 +36,17 @@ from .layers import dense_apply, dense_init, get_initializer
 
 Params = Dict[str, Any]
 
+# Scan-body remat policy for training decodes (see teacher_forced).
+# r3 sweep on the v5e (tools/remat_sweep.py), SCST 70 rows T=42 / XE b32:
+#   dots_saveable          20.3 / 8.3 ms   <- default (also saves the small
+#                                             batched attention dots)
+#   dots_no_batch_dims     20.7 / 8.6 ms
+#   nothing_saveable       20.6 / 8.6 ms
+#   everything_saveable    49.9 / 16.1 ms  (no remat: backward HBM-bound)
+# The three remat variants are within ~2% — the step is at its
+# recompute-vs-HBM floor; only turning remat off is catastrophic.
+REMAT_POLICY = jax.checkpoint_policies.dots_saveable
+
 
 class DecoderConfig(NamedTuple):
     token_type: str  # radix | word | char
@@ -250,9 +261,10 @@ def teacher_forced(p: Params, cfg: DecoderConfig, inputs: jnp.ndarray,
         # as scan residuals makes the backward HBM-bound. Measured at the
         # SCST operating point (70 rows, T=42): fwd+bwd 39.0 -> 20.0 ms.
         # Dropout keys are scan inputs, so the replay is bit-identical.
-        body_fn = jax.checkpoint(
-            body_fn,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        # REMAT_POLICY is a module knob so the policy sweep in
+        # tools/remat_sweep.py can measure alternatives; the default was
+        # re-confirmed optimal in r3 (see CLAUDE.md perf notes).
+        body_fn = jax.checkpoint(body_fn, policy=REMAT_POLICY)
 
     def body(state, xs):
         return body_fn(p, recurrent_noise, state, xs)

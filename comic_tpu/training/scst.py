@@ -296,6 +296,7 @@ def train_fn_scst(config: Config, *,
         rng, k_roll, k_train = jax.random.split(rng, 3)
         # raw numpy in: jit shards + transfers per its in_shardings
         out = rollout(state.params, images, k_roll)
+        _start_ids_fetch(out)
         if not overlap:
             # strict on-policy: score + train on THIS batch before the
             # next rollout (reference schedule, no staleness, no overlap)
@@ -332,7 +333,19 @@ def train_fn_scst(config: Config, *,
                max_saves=config.max_saves)
     saver.close()
     writer.close()
-    return metrics
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def _start_ids_fetch(out) -> None:
+    """Kick off the device->host copy of the decoded ids right after the
+    rollout dispatch, so the later np.asarray in host_score_shard finds
+    the bytes already on host instead of paying a synchronous ~40 ms
+    tunnel round trip (the r3 loop bench's dominant cost)."""
+    for arr in out[:2]:  # greedy_ids, beam_ids
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:
+            pass
 
 
 def host_score_shard(greedy_ids, beam_ids, refs, scorer, config, vocab,
@@ -399,6 +412,11 @@ def _finish_step(pending, state, train_step, scorer, config, vocab, width,
         greedy_ids, beam_ids, refs, scorer, config, vocab, width, mesh=mesh)
     state, metrics = train_step(state, im_embed, fmaps, hypo_ids,
                                 rewards, k_train)
-    metrics = {k: float(v) for k, v in metrics.items()}
+    # keep train metrics as device scalars: a per-step float() costs a
+    # full tunnel round trip (~40 ms) on the axon backend — the r3 loop
+    # bench showed the SCST step was latency-bound, not compute- or
+    # scoring-bound. Conversion happens at the 25-step logging cadence
+    # (writer.scalars floats) and at loop exit.
+    metrics = dict(metrics)
     metrics.update(score_metrics)
     return state, metrics, step + 1
