@@ -21,6 +21,10 @@ import time
 from typing import Any, Dict, List, Optional
 
 
+# Bumped when a default's meaning changes; load_config migrates older
+# records (v1 = anything without the marker, incl. reference config.pkls).
+CONFIG_VERSION = 2
+
 # Defaults mirror src/train.py argparse defaults + coded kwargs (:281-302).
 _DEFAULTS: Dict[str, Any] = dict(
     # naming / paths
@@ -173,10 +177,14 @@ class Config:
                     f.write(f"{k} = <{len(self.__dict__[k] or {})} entries>\n")
                 else:
                     f.write(f"{k} = {self.__dict__[k]}\n")
-        # Machine-readable record consumed by inference
+        # Machine-readable record consumed by inference. The version
+        # marker lets load_config apply migrations only to records written
+        # before a default's meaning changed (it is stripped on load).
         pkl = os.path.join(log_path, "config.pkl")
+        d = self.to_dict()
+        d["_comic_tpu_config_version"] = CONFIG_VERSION
         with open(pkl, "wb") as f:
-            pickle.dump(self.to_dict(), f, protocol=pickle.HIGHEST_PROTOCOL)
+            pickle.dump(d, f, protocol=pickle.HIGHEST_PROTOCOL)
         return pkl
 
     def overwrite_safety_check(self, overwrite: bool) -> None:
@@ -203,11 +211,14 @@ def load_config(path: str) -> Config:
             d = pickle.load(f, encoding="latin1")
     if not isinstance(d, dict):  # reference pickles the Config instance dict
         d = d.__dict__
-    # Migration: num_data_shards defaulted to the inert value 1 before it
-    # was wired as a mesh-size cap (0 = uncapped). config.pkl files from
-    # those runs carry 1, which would now silently serialize onto one
-    # device — treat the old default as unset.
-    if d.get("num_data_shards") == 1:
-        d = dict(d)
+    d = dict(d)
+    version = d.pop("_comic_tpu_config_version", 1)
+    # Migration (v1 records only): num_data_shards defaulted to the inert
+    # value 1 before it was wired as a mesh-size cap (0 = uncapped).
+    # Old config.pkl files carry 1, which would now silently serialize
+    # onto one device — treat the old default as unset. Records written
+    # by current code carry the version marker, so a DELIBERATE cap of 1
+    # survives.
+    if version < 2 and d.get("num_data_shards") == 1:
         d["num_data_shards"] = 0
     return Config(**d)

@@ -64,9 +64,10 @@ def make_divisible(v: float, divisor: int = 8) -> int:
 
 def feature_dim(depth_multiplier: float = 1.0) -> int:
     """Final Conv_1 width. For multiplier >= 1 slim scales it like every
-    other layer (finegrain_classification_mode applies only below 1,
-    mobilenet_v2.py mobilenet()): 1.4 -> 1792."""
-    if depth_multiplier == 1.0:
+    other layer: 1.4 -> 1792. Below 1, finegrain_classification_mode
+    keeps Conv_1 at 1280 (mobilenet_v2.py mobilenet()) — published
+    sub-1.0 checkpoints all have the unscaled head."""
+    if depth_multiplier <= 1.0:
         return FEATURE_DIM
     return make_divisible(FEATURE_DIM * depth_multiplier)
 

@@ -56,7 +56,14 @@ def _atomic_write(path: str, data: bytes) -> None:
 def _prune(directory: str, prefix: str, keep: int) -> None:
     import shutil
 
-    ckpts = list_checkpoints(directory, prefix)
+    # Only artifacts this framework wrote (msgpack/orbax) participate in
+    # retention. Reference TF checkpoints sharing the dir are discoverable
+    # but must neither be deleted nor consume keep slots — they natural-
+    # sort above a fresh run's low step numbers and would otherwise evict
+    # every newly saved checkpoint immediately.
+    ckpts = [p for p in list_checkpoints(directory, prefix)
+             if os.path.exists(os.path.join(directory, p + _SUFFIX))
+             or os.path.exists(os.path.join(directory, p + _ORBAX_SUFFIX))]
     for p in ckpts[:-keep] if keep > 0 else []:
         for suffix in (_SUFFIX, _ORBAX_SUFFIX):
             path = os.path.join(directory, p + suffix)
@@ -281,6 +288,14 @@ def _tf_reference_restore(tf_path: str, template: Params) -> Params:
             f"{tf_path} is a TF checkpoint, but the restore target is not "
             "a full model params tree — convert it explicitly "
             "(utils.tf_checkpoint) instead.")
+    # cheap name-only probe first: a CNN-only slim checkpoint (no Model/
+    # scope) must fall through to restore_model's CNN branch without
+    # paying a full tensor materialization here
+    if not any(n.startswith("Model/")
+               for n in tfc.reference_checkpoint_names(tf_path)):
+        raise ValueError(
+            f"No `Model/` variables in {tf_path} — not a reference "
+            "trained-model checkpoint.")
     return tfc.convert_reference_tree(
         tfc.load_reference_checkpoint_vars(tf_path), template)
 
@@ -288,6 +303,12 @@ def _tf_reference_restore(tf_path: str, template: Params) -> Params:
 def load_full(path_or_dir: str, template_state: Dict[str, Any]
               ) -> Dict[str, Any]:
     path = _resolve(path_or_dir, FULL_PREFIX)
+    if path.endswith(_TF_SUFFIX):
+        raise ValueError(
+            f"{path} is a reference TF FULL checkpoint (graph + optimizer "
+            "slots); resuming reference optimizer state is not supported. "
+            "Restore the model variables from the matching model_compact-N "
+            "instead (checkpoint_path without resume).")
     if path.endswith(_ORBAX_SUFFIX):
         return _orbax_restore(path, template_state)
     with open(path, "rb") as f:

@@ -490,6 +490,14 @@ def convert_reference_tree(name_to_array: Dict[str, np.ndarray],
             "decoder": merge(dec_tpl, decoder, "decoder")}
 
 
+def reference_checkpoint_names(ckpt_path: str) -> list:
+    """Variable names only — no tensor materialization (cheap probe)."""
+    import tensorflow as tf
+
+    reader = tf.train.load_checkpoint(ckpt_path)
+    return list(reader.get_variable_to_shape_map())
+
+
 def load_reference_checkpoint_vars(ckpt_path: str) -> Dict[str, np.ndarray]:
     """Read every non-slot variable of a TF checkpoint (requires tf)."""
     import tensorflow as tf

@@ -66,6 +66,13 @@ def test_load_migrates_inert_num_data_shards(tmp_path):
     with open(p, "wb") as f:
         pickle.dump({"num_data_shards": 2}, f, protocol=2)
     assert load_config(str(p)).num_data_shards == 2
+    # records written by CURRENT code carry a version marker, so a
+    # deliberate cap of 1 saved today round-trips unmolested
+    c = Config(num_data_shards=1, log_path=str(tmp_path))
+    c.save()
+    loaded = load_config(str(tmp_path))
+    assert loaded.num_data_shards == 1
+    assert "_comic_tpu_config_version" not in loaded
 
 
 def test_overwrite_safety(tmp_path):

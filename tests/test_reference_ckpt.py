@@ -373,6 +373,72 @@ def test_infer_sweep_on_reference_style_experiment_dir(rng, tmp_path):
     assert len(caps) == 4 and {"image_id", "caption"} <= set(caps[0])
 
 
+class TestReferenceDirCoexistence:
+    """Fresh training artifacts must coexist safely with reference TF
+    checkpoints in the same experiment dir (the fine-tune-from-published-
+    model workflow)."""
+
+    def test_prune_never_touches_or_counts_tf_checkpoints(self, tmp_path):
+        import flax.serialization as ser
+
+        # 12 reference TF checkpoints at high step numbers
+        tf_vars = {"Model/decoder/rnn_decoder/embedding_map":
+                   np.zeros((4, 2), np.float32)}
+        v1 = tf.compat.v1
+        g = v1.Graph()
+        with g.as_default():
+            for name, arr in tf_vars.items():
+                v1.get_variable(name, initializer=tf.constant(arr))
+            saver = v1.train.Saver(max_to_keep=None)
+            with v1.Session(graph=g) as sess:
+                sess.run(v1.global_variables_initializer())
+                for step in range(100000, 100012):
+                    saver.save(sess, str(tmp_path / f"model_compact-{step}"),
+                               write_meta_graph=False)
+        # a fresh run saves low-step msgpack checkpoints with keep=3
+        for step in (1, 2, 3):
+            ckpt.save_checkpoint(str(tmp_path), step,
+                                 {"w": np.float32(step)}, max_saves=3)
+        names = os.listdir(str(tmp_path))
+        # all 12 TF ckpts intact
+        assert sum(1 for n in names if n.endswith(".index")) == 12
+        # the new msgpack checkpoints survived their own retention
+        kept = sorted(n for n in names
+                      if n.startswith("model_compact") and
+                      n.endswith(".msgpack"))
+        assert kept == ["model_compact-1.msgpack",
+                        "model_compact-2.msgpack",
+                        "model_compact-3.msgpack"]
+        with open(tmp_path / "model_compact-3.msgpack", "rb") as f:
+            got = ser.from_bytes({"w": np.float32(0)}, f.read())
+        assert got["w"] == 3.0
+
+    def test_resume_from_reference_full_ckpt_fails_clearly(self, tmp_path):
+        v1 = tf.compat.v1
+        g = v1.Graph()
+        with g.as_default():
+            v1.get_variable("Model/x", initializer=tf.constant(
+                np.zeros((2,), np.float32)))
+            saver = v1.train.Saver()
+            with v1.Session(graph=g) as sess:
+                sess.run(v1.global_variables_initializer())
+                saver.save(sess, str(tmp_path / "model-7"),
+                           write_meta_graph=False)
+        with pytest.raises(ValueError, match="model_compact"):
+            ckpt.load_full(str(tmp_path), {"params": {}})
+
+
+def test_mobilenet_v2_feature_dim_finegrain_mode():
+    """Sub-1.0 multipliers keep Conv_1 at 1280 (slim
+    finegrain_classification_mode) — only >1 scales the head."""
+    from comic_tpu.models import mobilenet_v2 as m2
+
+    assert m2.feature_dim(0.75) == 1280
+    assert m2.feature_dim(0.5) == 1280
+    assert m2.feature_dim(1.0) == 1280
+    assert m2.feature_dim(1.4) == 1792
+
+
 class TestSuffixMatching:
     """Pure (no-TF-checkpoint) converter mechanics."""
 

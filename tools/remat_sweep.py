@@ -51,11 +51,15 @@ def main():
 
     cp = jax.checkpoint_policies
     policies = {
-        "dots_no_batch_dims (default)": cp.dots_with_no_batch_dims_saveable,
         "dots_saveable": cp.dots_saveable,
+        "dots_no_batch_dims": cp.dots_with_no_batch_dims_saveable,
         "nothing_saveable": cp.nothing_saveable,
         "everything_saveable": cp.everything_saveable,
     }
+    default = dec_mod.REMAT_POLICY
+    for name, policy in policies.items():
+        if policy is default:
+            print(f"current default: {name}")
     optimizer, mask = build_optimizer(
         params, cosine_schedule(config.lr_start, config.lr_end, 1000),
         adam_epsilon=config.adam_epsilon, freeze_scopes=config.freeze_scopes)
