@@ -107,6 +107,46 @@ def bench_serving(config, spec, params, steps, beam):
     return best, best_batch
 
 
+def bench_serving_floor(config, spec, params, steps, beam):
+    """Fixed serving cost (encoder + precompute + dispatch) via the
+    early-exit decode on an EOS-biased model: every beam finishes at step
+    1, so the measured time is the non-decode floor. Real-data serving
+    lands between this and the worst-case 60-step number, scaling with
+    the longest caption in the batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from comic_tpu.data.preprocessing import preprocess_batch
+    from comic_tpu.decoding import beam_search
+
+    h, w = config.cnn_input_size
+    p2 = jax.tree_util.tree_map(jnp.array, params)
+    p2["decoder"] = dict(p2["decoder"])
+    p2["decoder"]["output_projection"] = dict(
+        p2["decoder"]["output_projection"])
+    bias = p2["decoder"]["output_projection"]["bias"]
+    p2["decoder"]["output_projection"]["bias"] = bias.at[
+        spec.decoder.end_id].add(8.0)
+
+    def serve(params, images_u8):
+        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
+                                  False)
+        top, _ = beam_search(params, spec, images, beam_size=beam,
+                             max_steps=steps, length_penalty=0.0,
+                             collect_alignments=False, early_exit=True)
+        return top.ids
+
+    rng = np.random.default_rng(4)
+    batch = 128
+    images_u8 = jnp.asarray(
+        rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
+    ms = _pipelined_ms(jax.jit(serve), (p2, images_u8), iters=50,
+                       sync=lambda o: np.asarray(o))
+    print(f"serving floor (b{batch}, early-exit at step 1): {ms:.2f} ms",
+          file=sys.stderr)
+    return ms
+
+
 def bench_xe_step(config, spec, params, vocab):
     """Fused XE train step at the reference train batch (32)."""
     import jax
@@ -366,6 +406,7 @@ def main():
     # number reflects full-length caption generation.
     serve_spec = spec._replace(decoder=spec.decoder._replace(end_id=-1))
     best, best_batch = bench_serving(config, serve_spec, params, steps, beam)
+    floor_ms = bench_serving_floor(config, spec, params, steps, beam)
 
     xe_ms, xe_scan_ms = bench_xe_step(config, spec, params, vocab)
     roll_ms, scst_ms = bench_scst(config, spec, params, vocab)
@@ -390,6 +431,7 @@ def main():
         "scst_train_ms_b10": round(scst_ms, 2),
         "scst_loop_eps_overlap": round(scst_eps_on, 1),
         "scst_loop_eps_strict": round(scst_eps_off, 1),
+        "serve_floor_ms_b128_earlyexit": round(floor_ms, 2),
     }))
 
 

@@ -87,6 +87,12 @@ _DEFAULTS: Dict[str, Any] = dict(
     # attention-map pickle size cap (images); -1 = full run like the
     # reference (infer_fn.py:129-175)
     infer_attention_max_images=4,
+    # stop decoding once every beam has emitted EOS (the reference's
+    # dynamic_decode behavior). Applies only when attention maps are not
+    # collected; output-identical to the full-length scan
+    # (tests/test_decoding.py). Worst-case cost +0.9%; real-data serving
+    # gains scale with (max_steps - longest caption in batch).
+    infer_early_exit=True,
     # checkpointing / logging
     checkpoint_path=None,
     checkpoint_exclude_scopes="",

@@ -82,13 +82,16 @@ def make_serve_fn(spec, config: Config, steps: int, mesh=None,
     lpen = float(config.infer_length_penalty_weight or 0.0)
     preprocess = preprocess_for(config.cnn_name)
 
+    early = bool(config.get("infer_early_exit"))
+
     def serve(params, images_u8):
         images = preprocess(images_u8, jax.random.PRNGKey(0), h, w,
                             False)
         if beam > 1:
             top, _ = beam_search(params, spec, images, beam_size=beam,
                                  max_steps=steps, length_penalty=lpen,
-                                 collect_alignments=collect_alignments)
+                                 collect_alignments=collect_alignments,
+                                 early_exit=early)
         else:
             top = greedy_or_sample(params, spec, images, max_steps=steps,
                                    collect_alignments=collect_alignments)

@@ -243,6 +243,38 @@ class TestBeam:
                 np.testing.assert_allclose(float(top.scores[b]),
                                            total[b] / lp[b], rtol=1e-4)
 
+    @pytest.mark.parametrize("eos_bias,lpen", [
+        (0.0, 0.0),    # EOS rarely wins within 12 steps (late/no finish)
+        (1.5, 0.0),    # beams finish at staggered mid steps
+        (1.5, 1.0),    # with contrib length-penalty scoring
+        (8.0, 0.0),    # everything finishes almost immediately
+    ])
+    def test_early_exit_matches_full_scan(self, setup, eos_bias, lpen):
+        """The while_loop early-exit decode (contrib dynamic_decode stop
+        condition) must produce bit-identical ids/scores/lengths to the
+        fixed-length scan, across finish-time profiles."""
+        spec, p, im, mem = setup
+        p2 = jax.tree_util.tree_map(jnp.array, p)
+        p2["output_projection"] = dict(p2["output_projection"])
+        p2["output_projection"]["bias"] = (
+            p2["output_projection"]["bias"].at[END].add(eos_bias))
+        kw = dict(beam_size=3, max_steps=12, length_penalty=lpen,
+                  collect_alignments=False)
+        top_s, all_s = beam_search_from_memory(
+            p2, spec, im, mem, early_exit=False, **kw)
+        top_w, all_w = beam_search_from_memory(
+            p2, spec, im, mem, early_exit=True, **kw)
+        np.testing.assert_array_equal(np.asarray(top_s.ids),
+                                      np.asarray(top_w.ids))
+        np.testing.assert_allclose(np.asarray(top_s.scores),
+                                   np.asarray(top_w.scores), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(top_s.lengths),
+                                      np.asarray(top_w.lengths))
+        np.testing.assert_array_equal(np.asarray(all_s["ids"]),
+                                      np.asarray(all_w["ids"]))
+        np.testing.assert_allclose(np.asarray(all_s["scores"]),
+                                   np.asarray(all_w["scores"]), rtol=1e-6)
+
     def test_finished_beams_locked_to_eos(self, setup):
         spec, p, im, mem = setup
         top, _ = beam_search_from_memory(p, spec, im, mem, beam_size=3,

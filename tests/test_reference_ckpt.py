@@ -373,6 +373,56 @@ def test_infer_sweep_on_reference_style_experiment_dir(rng, tmp_path):
     assert len(caps) == 4 and {"image_id", "caption"} <= set(caps[0])
 
 
+@pytest.mark.slow
+def test_cnn_finetune_stage_from_reference_decoder_dir(rng, tmp_path,
+                                                       capsys):
+    """Stage chaining off a PUBLISHED model: cnn_finetune restores the
+    decoder-stage checkpoint from a reference-style dir (TF checkpoint,
+    train.py:241-250 semantics) and trains."""
+    from comic_tpu.data.synthetic import make_synthetic_dataset
+    from comic_tpu.data import captions as cap_io
+    from comic_tpu.tokenization import Vocabulary as V
+    from comic_tpu.training.xe import train_fn
+
+    root, _ = make_synthetic_dataset(
+        str(tmp_path / "d"), num_train=4, num_valid=2, num_test=2,
+        captions_per_image=1)
+    base = dict(
+        token_type="radix", radix_base=32, dataset_dir=root,
+        dataset_file_pattern="synth_{}", rnn_size=32, rnn_word_size=16,
+        attn_num_heads=2, compute_dtype="float32", cnn_input_size=(64, 64),
+        batch_size_train=2, batch_size_eval=2, max_epoch=1,
+        dropout_rnn_in=0.0, dropout_rnn_out=0.0, attn_keep_prob=1.0)
+
+    # reference-style decoder-stage dir: TF ckpt only
+    ref_dir = str(tmp_path / "ref_decoder_run")
+    os.makedirs(ref_dir)
+    cfg_tpl = Config(**base)
+    vv = cap_io.load_vocab(root, "synth_{}")
+    cfg_tpl.wtoi = vv.wtoi
+    cfg_tpl.itow = {str(k): w for k, w in vv.itow.items()}
+    vocab = V.from_str_itow(cfg_tpl.wtoi, cfg_tpl.itow)
+    spec = build_model_spec(cfg_tpl, vocab)
+    template = init_params(jax.random.PRNGKey(2), spec)
+    source = _rand_like(rng, template)
+    tf_vars = _flatten(source["encoder"]["cnn"],
+                       "Model/encoder/cnn/InceptionV1")
+    names = _reference_var_names(cfg_tpl, template["decoder"])
+    for p, leaf in _flat_paths(source["decoder"]):
+        tf_vars[names[p]] = np.asarray(leaf)
+    _write_tf1_checkpoint(ref_dir, tf_vars, step=100)
+
+    # cnn_finetune: restore the whole Model from the decoder dir,
+    # unfreeze the CNN (train.py:241-250)
+    c = Config(**base, log_path=str(tmp_path / "ft"),
+               checkpoint_path=ref_dir, freeze_scopes="",
+               train_mode="cnn_finetune", lr_start=1e-3)
+    train_fn(c, max_steps_override=2)
+    out = capsys.readouterr().out
+    assert "restore mode = model" in out
+    assert ckpt.list_checkpoints(c.log_path)
+
+
 class TestReferenceDirCoexistence:
     """Fresh training artifacts must coexist safely with reference TF
     checkpoints in the same experiment dir (the fine-tune-from-published-
