@@ -72,19 +72,21 @@ def greedy_or_sample(
     params: Params, spec: ModelSpec, images: jnp.ndarray, *,
     max_steps: int, sample: bool = False,
     rng: Optional[jax.Array] = None, collect_alignments: bool = True,
+    early_exit: bool = False,
 ) -> DecodeOutput:
     """Greedy argmax decode, or multinomial sampling when `sample`."""
     im_embed, memory = _prepare_memory(params, spec, images)
     return greedy_or_sample_from_memory(
         params["decoder"], spec, im_embed, memory,
         max_steps=max_steps, sample=sample, rng=rng,
-        collect_alignments=collect_alignments)
+        collect_alignments=collect_alignments, early_exit=early_exit)
 
 
 def greedy_or_sample_from_memory(
     dec_params: Params, spec: ModelSpec, im_embed: jnp.ndarray,
     memory: AttentionMemory, *, max_steps: int, sample: bool = False,
     rng: Optional[jax.Array] = None, collect_alignments: bool = True,
+    early_exit: bool = False,
 ) -> DecodeOutput:
     """Core search over precomputed encoder outputs.
 
@@ -136,8 +138,31 @@ def greedy_or_sample_from_memory(
         return ((dec_state, nxt, new_finished, log_prob, lengths),
                 (write, align_out))
 
-    (_, _, _, log_prob, lengths), (ids_t, align_t) = jax.lax.scan(
-        body, carry0, step_keys)
+    if early_exit and not collect_alignments:
+        # while_loop that stops once every row has emitted EOS (the
+        # reference GreedyEmbeddingHelper/dynamic_decode behavior,
+        # ops_rnn.py:115-180). Finished rows write PAD, so the
+        # pre-initialized tail equals what the full scan would write.
+        ids_buf0 = jnp.full((max_steps, batch), -1, jnp.int32)
+
+        def cond(state):
+            carry, t, _ = state
+            return jnp.logical_and(t < max_steps,
+                                   jnp.logical_not(jnp.all(carry[2])))
+
+        def wbody(state):
+            carry, t, ids_buf = state
+            carry, (write, _) = body(carry, step_keys[t])
+            ids_buf = jax.lax.dynamic_update_index_in_dim(
+                ids_buf, write, t, axis=0)
+            return carry, t + 1, ids_buf
+
+        (_, _, _, log_prob, lengths), _, ids_t = jax.lax.while_loop(
+            cond, wbody, (carry0, jnp.int32(0), ids_buf0))
+        align_t = None
+    else:
+        (_, _, _, log_prob, lengths), (ids_t, align_t) = jax.lax.scan(
+            body, carry0, step_keys)
 
     if collect_alignments:
         alignments = jnp.transpose(align_t, (1, 2, 0, 3))  # (B, H, T, L)

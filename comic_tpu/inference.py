@@ -94,7 +94,8 @@ def make_serve_fn(spec, config: Config, steps: int, mesh=None,
                                  early_exit=early)
         else:
             top = greedy_or_sample(params, spec, images, max_steps=steps,
-                                   collect_alignments=collect_alignments)
+                                   collect_alignments=collect_alignments,
+                                   early_exit=early)
         if not collect_alignments:
             return top.ids, None  # skip the zero placeholder entirely
         return top.ids, top.alignments

@@ -275,6 +275,25 @@ class TestBeam:
         np.testing.assert_allclose(np.asarray(all_s["scores"]),
                                    np.asarray(all_w["scores"]), rtol=1e-6)
 
+    @pytest.mark.parametrize("eos_bias", [0.0, 1.5, 8.0])
+    def test_greedy_early_exit_matches_full_scan(self, setup, eos_bias):
+        spec, p, im, mem = setup
+        p2 = jax.tree_util.tree_map(jnp.array, p)
+        p2["output_projection"] = dict(p2["output_projection"])
+        p2["output_projection"]["bias"] = (
+            p2["output_projection"]["bias"].at[END].add(eos_bias))
+        kw = dict(max_steps=12, collect_alignments=False)
+        out_s = greedy_or_sample_from_memory(p2, spec, im, mem,
+                                             early_exit=False, **kw)
+        out_w = greedy_or_sample_from_memory(p2, spec, im, mem,
+                                             early_exit=True, **kw)
+        np.testing.assert_array_equal(np.asarray(out_s.ids),
+                                      np.asarray(out_w.ids))
+        np.testing.assert_allclose(np.asarray(out_s.scores),
+                                   np.asarray(out_w.scores), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out_s.lengths),
+                                      np.asarray(out_w.lengths))
+
     def test_finished_beams_locked_to_eos(self, setup):
         spec, p, im, mem = setup
         top, _ = beam_search_from_memory(p, spec, im, mem, beam_size=3,
