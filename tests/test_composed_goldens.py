@@ -260,10 +260,14 @@ class TestMobilenetV1Golden:
 
 
 class TestMobilenetV2Golden:
-    def test_through_expanded_conv_2_matches_tf(self, rng):
+    @pytest.mark.parametrize("multiplier", [1.0, 1.4])
+    def test_through_expanded_conv_2_matches_tf(self, rng, multiplier):
         """Covers the t=1 first block (no expand), a stride-2 expanded
-        block, and a residual-add block."""
-        p = _randomize(mnv2.init_params(jax.random.PRNGKey(4)), rng)
+        block, and a residual-add block. The 1.4 variant reuses the same
+        raw-tf twin (it reads channel counts from the param shapes), so
+        the make_divisible widths are pinned against tf.nn too."""
+        p = _randomize(mnv2.init_params(jax.random.PRNGKey(4),
+                                        depth_multiplier=multiplier), rng)
         x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
         pn = _np(p)
         eps = mnv2.BN_EPS
