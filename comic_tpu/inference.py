@@ -147,13 +147,7 @@ def run_inference(config: Config, ckpt_path: str,
     # three filename-keyed dicts; 'attention' capped by
     # config.infer_attention_max_images (-1 = full reference output)
     raw_outputs: Dict = {"captions": {}, "attention": {}, "image_ids": {}}
-    n_done = 0
-    t0 = time.time()
-    for images, files in iter(pipe):
-        # raw numpy in: jit shards + transfers per its in_shardings
-        # (jnp.asarray would commit the batch to device 0 and force a
-        # per-batch reshard — CLAUDE.md hot-loop rule)
-        ids, attn = serve(params, images)
+    def consume(ids, attn, files):
         caps = ids_to_captions(np.asarray(ids), config.token_type, vocab,
                                config.radix_base)
         for f, c in zip(files, caps):
@@ -171,7 +165,28 @@ def run_inference(config: Config, ckpt_path: str,
                 if maps is not None and (
                         limit < 0 or len(raw_outputs["attention"]) < limit):
                     raw_outputs["attention"][f] = maps[j]
-        n_done += images.shape[0]
+        return len(caps)
+
+    n_done = 0
+    t0 = time.time()
+    pending = None  # one-batch software pipeline: convert batch i's ids
+    # on host while the device decodes batch i+1 (a synchronous per-batch
+    # fetch costs a full tunnel round trip — CLAUDE.md)
+    for images, files in iter(pipe):
+        # raw numpy in: jit shards + transfers per its in_shardings
+        # (jnp.asarray would commit the batch to device 0 and force a
+        # per-batch reshard — CLAUDE.md hot-loop rule)
+        ids, attn = serve(params, images)
+        for arr in (ids, attn) if attn is not None else (ids,):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+        if pending is not None:
+            n_done += consume(*pending)
+        pending = (ids, attn, files)
+    if pending is not None:
+        n_done += consume(*pending)
     dt = time.time() - t0
 
     if len(set(map(str, all_ids))) != len(all_ids):
