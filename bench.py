@@ -80,10 +80,14 @@ def bench_serving(config, spec, params, steps, beam):
     def serve(params, images_u8):
         images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
                                   False)
+        # production serving config: no attention maps, early-exit
+        # while_loop — the unreachable EOS forces all 60 iterations, so
+        # this measures the true production worst case (incl. the ~0.9%
+        # while_loop overhead vs the fixed scan)
         top, _ = beam_search(params, spec, images, beam_size=beam,
                              max_steps=steps,
                              length_penalty=config.infer_length_penalty_weight,
-                             collect_alignments=False)  # serving default
+                             collect_alignments=False, early_exit=True)
         return top.ids
 
     rng = np.random.default_rng(0)
@@ -120,10 +124,8 @@ def bench_serving_floor(config, spec, params, steps, beam):
     from comic_tpu.decoding import beam_search
 
     h, w = config.cnn_input_size
+    # tree_map builds fresh containers, so mutating the copy is safe
     p2 = jax.tree_util.tree_map(jnp.array, params)
-    p2["decoder"] = dict(p2["decoder"])
-    p2["decoder"]["output_projection"] = dict(
-        p2["decoder"]["output_projection"])
     bias = p2["decoder"]["output_projection"]["bias"]
     p2["decoder"]["output_projection"]["bias"] = bias.at[
         spec.decoder.end_id].add(8.0)

@@ -40,6 +40,10 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--infer_beam_size", type=int, default=3)
     p.add_argument("--infer_length_penalty_weight", type=float, default=0.0)
     p.add_argument("--infer_max_length", type=int, default=30)
+    p.add_argument("--infer_early_exit", type=int, default=1,
+                   help="1 (default): stop decoding when every beam has "
+                        "emitted EOS; 0: fixed-length decode (e.g. for "
+                        "step-time profiling). Output-identical.")
     p.add_argument("--jar_dir", type=str, default="",
                    help="Directory with METEOR/SPICE/CoreNLP jars.")
     return p
@@ -60,6 +64,7 @@ def main(argv=None):
         infer_beam_size=args.infer_beam_size,
         infer_length_penalty_weight=args.infer_length_penalty_weight,
         infer_max_length=args.infer_max_length,
+        infer_early_exit=bool(args.infer_early_exit),
     )
     if args.dataset_dir:
         config.dataset_dir = args.dataset_dir

@@ -9,16 +9,18 @@ on-device fixed-length `lax.scan` loops over static-shape hypothesis state:
     batched matmul chain on the MXU — no per-hypothesis control flow;
   - attention keys/values are precomputed once per image and broadcast
     across beams (the reference re-tiles the raw feature map instead);
-  - sequence history comes out of the scan as STACKED per-step outputs
-    (token, parent, alignment) — nothing large lives in the loop carry.
-    (A carried history buffer updated with `.at[t].set` inside
-    `lax.while_loop` costs a padded-layout copy of the whole buffer every
-    iteration on TPU — measured ~0.8 ms/step vs ~6 us/step for the scan.)
+  - when attention maps are recorded, sequence history comes out of a
+    fixed-length scan as STACKED per-step outputs (token, parent,
+    alignment) — a carried ALIGNMENT history buffer updated with
+    `.at[t].set` inside `lax.while_loop` costs a padded-layout copy of
+    the whole buffer every iteration on TPU (measured ~0.8 ms/step);
+  - serving (no attention maps) instead uses an early-exit
+    `lax.while_loop` over only the SMALL ids/parent buffers — +0.9%
+    worst-case cost, stops when every beam has emitted EOS (the contrib
+    dynamic_decode condition), output-identical to the full scan;
   - beam hypotheses are reconstructed afterwards with one parent-pointer
     backtrack (the `gather_tree` idea as a reverse scan); only the small
-    decoder state is reordered inside the loop;
-  - a decode step is ~6 us, so running all max_steps unconditionally is
-    faster than any early-exit while_loop formulation.
+    decoder state is reordered inside the loop.
 
 Semantics matched to contrib BeamSearchDecoder: log-prob accumulation,
 finished beams locked to emit EOS with zero added log-prob, Google-NMT
@@ -320,7 +322,6 @@ def beam_search_from_memory(
         token_buf0 = jnp.full((max_steps, batch, k), dcfg.end_id, jnp.int32)
         parent_buf0 = jnp.broadcast_to(
             jnp.arange(k, dtype=jnp.int32), (max_steps, batch, k))
-        parent_buf0 = jnp.asarray(parent_buf0)
 
         def cond(state):
             core, t, _, _, _ = state

@@ -167,6 +167,8 @@ def run_inference(config: Config, ckpt_path: str,
                     raw_outputs["attention"][f] = maps[j]
         return len(caps)
 
+    from .parallel.mesh import start_host_fetch
+
     n_done = 0
     t0 = time.time()
     pending = None  # one-batch software pipeline: convert batch i's ids
@@ -177,11 +179,7 @@ def run_inference(config: Config, ckpt_path: str,
         # (jnp.asarray would commit the batch to device 0 and force a
         # per-batch reshard — CLAUDE.md hot-loop rule)
         ids, attn = serve(params, images)
-        for arr in (ids, attn) if attn is not None else (ids,):
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                pass
+        start_host_fetch(*((ids, attn) if attn is not None else (ids,)))
         if pending is not None:
             n_done += consume(*pending)
         pending = (ids, attn, files)

@@ -87,6 +87,18 @@ def host_shard_indices(n_items: int, batch_size: int) -> range:
     return range(pid, n_items, n)
 
 
+def start_host_fetch(*arrays) -> None:
+    """Kick off async device->host copies so a later np.asarray finds the
+    bytes already on host instead of paying a synchronous link round trip
+    (~40 ms on the tunneled dev backend — CLAUDE.md). No-op for values
+    without copy_to_host_async (plain numpy)."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
+
+
 def local_batch(x, axis: int = 0) -> np.ndarray:
     """Host-addressable rows of a batch-sharded global array, concatenated
     in shard order along `axis` (SURVEY §7 step 8: each host scores ITS
