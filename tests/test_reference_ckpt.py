@@ -372,6 +372,29 @@ def test_infer_sweep_on_reference_style_experiment_dir(rng, tmp_path):
         caps = _json.load(f)
     assert len(caps) == 4 and {"image_id", "caption"} <= set(caps[0])
 
+    # and the infer CLI itself (reference infer.py surface) over the same
+    # dir: config.pkl reload + flag merge + TF conversion + artifacts,
+    # with the fixed-length decode escape hatch exercised
+    from comic_tpu.cli import infer as cli_infer
+
+    cli_infer.main([
+        "--infer_checkpoints_dir", config.log_path,
+        "--dataset_dir", root,
+        "--infer_set", "valid",
+        "--batch_size_infer", "2",
+        "--infer_beam_size", "2",
+        "--infer_max_length", "8",
+        "--infer_early_exit", "0",
+        "--get_metric_score", "",
+    ])
+    valid_dirs = [d for d in os.listdir(config.log_path)
+                  if d.startswith("infer_valid")]
+    assert valid_dirs
+    vjson = os.path.join(config.log_path, valid_dirs[0],
+                         "captions___model_compact-50.json")
+    with open(vjson) as f:
+        assert len(_json.load(f)) == 2
+
 
 @pytest.mark.slow
 def test_cnn_finetune_stage_from_reference_decoder_dir(rng, tmp_path,
