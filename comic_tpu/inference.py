@@ -58,7 +58,7 @@ def _ckpt_name(ckpt_path: str) -> str:
     """Suffixless checkpoint name for artifact keys — the same name no
     matter which backend's path (msgpack file / orbax dir) was given."""
     name = os.path.basename(ckpt_path.rstrip(os.sep))
-    for suffix in (ckpt._SUFFIX, ckpt._ORBAX_SUFFIX):
+    for suffix in (ckpt._SUFFIX, ckpt._ORBAX_SUFFIX, ckpt._TF_SUFFIX):
         if name.endswith(suffix):
             name = name[: -len(suffix)]
     return name
@@ -179,7 +179,14 @@ def run_inference(config: Config, ckpt_path: str,
         # (jnp.asarray would commit the batch to device 0 and force a
         # per-batch reshard — CLAUDE.md hot-loop rule)
         ids, attn = serve(params, images)
-        start_host_fetch(*((ids, attn) if attn is not None else (ids,)))
+        start_host_fetch(ids)
+        if attn is not None:
+            # alignment maps are big ((B,H,T,L) f32) — only fetch while
+            # the attention cap still wants them
+            limit = config.get("infer_attention_max_images")
+            limit = 4 if limit is None else int(limit)
+            if limit < 0 or len(raw_outputs["attention"]) < limit:
+                start_host_fetch(attn)
         if pending is not None:
             n_done += consume(*pending)
         pending = (ids, attn, files)

@@ -371,12 +371,35 @@ def restore_model(params: Params, checkpoint_path: Optional[str], *,
         return (state["params"], state.get("opt_state", opt_state),
                 int(state["step"]), "resume")
 
+    # Resolve first so error handling can distinguish "not a full-model
+    # artifact -> try the CNN branch" from genuine conversion failures
+    # (e.g. a reference TF checkpoint paired with the wrong config MUST
+    # fail loudly with its shape-mismatch error, not be laundered into a
+    # confusing CNN-branch message).
+    resolved = None
     try:
-        restored = load_compact(checkpoint_path, params)
-        merged = restore_with_excludes(params, restored, exclude_scopes)
-        return merged, opt_state, 0, "model"
-    except (FileNotFoundError, ValueError):
+        resolved = _resolve(checkpoint_path, COMPACT_PREFIX)
+    except FileNotFoundError:
         pass
+    if resolved and resolved.endswith(_TF_SUFFIX):
+        from ..utils import tf_checkpoint as tfc
+
+        tf_path = resolved[: -len(_TF_SUFFIX)]
+        if any(n.startswith("Model/")
+               for n in tfc.reference_checkpoint_names(tf_path)):
+            # full reference model: converter errors propagate untouched
+            restored = tfc.convert_reference_tree(
+                tfc.load_reference_checkpoint_vars(tf_path), params)
+            merged = restore_with_excludes(params, restored, exclude_scopes)
+            return merged, opt_state, 0, "model"
+        # no Model/ scope: a raw slim CNN checkpoint -> CNN branch below
+    elif resolved is not None:
+        try:
+            restored = load_compact(resolved, params)
+            merged = restore_with_excludes(params, restored, exclude_scopes)
+            return merged, opt_state, 0, "model"
+        except ValueError:
+            pass  # e.g. a CNN-only msgpack artifact -> CNN branch below
 
     # CNN-only restore: a converted slim checkpoint holding just the
     # encoder/cnn subtree (model_base.py:471-484), or a vanilla slim TF

@@ -263,7 +263,8 @@ def train_fn_scst(config: Config, *,
     os.makedirs(config.log_path, exist_ok=True)
     config.save(config.log_path)
 
-    from ..parallel.mesh import make_mesh_for_batch, replicate
+    from ..parallel.mesh import (make_mesh_for_batch, replicate,
+                                 start_host_fetch)
 
     mesh = make_mesh_for_batch(
         config.batch_size_train,
@@ -302,17 +303,21 @@ def train_fn_scst(config: Config, *,
             # next rollout (reference schedule, no staleness, no overlap)
             state, metrics, step = _finish_step(
                 (out, refs), state, train_step, scorer, config, vocab,
-                width, k_train, writer, step, schedule, mesh=mesh)
+                width, k_train, step, mesh=mesh)
             n_since += config.batch_size_train
         else:
             if pending is not None:
                 state, metrics, step = _finish_step(
                     pending, state, train_step, scorer, config, vocab,
-                    width, k_train, writer, step, schedule, mesh=mesh)
+                    width, k_train, step, mesh=mesh)
                 n_since += config.batch_size_train
             pending = (out, refs)
 
         if step > 0 and step % 25 == 0 and metrics:
+            # one async fetch batch for all device scalars, then the
+            # writer's float()s find the values already on host (a
+            # per-scalar sync is a full round trip each — CLAUDE.md)
+            start_host_fetch(*metrics.values())
             dt = time.time() - t_last
             writer.scalars(step, dict(
                 metrics, examples_per_sec=n_since / max(dt, 1e-9)))
@@ -328,11 +333,12 @@ def train_fn_scst(config: Config, *,
         rng, k_train = jax.random.split(rng)
         state, metrics, step = _finish_step(
             pending, state, train_step, scorer, config, vocab, width,
-            k_train, writer, step, schedule, mesh=mesh)
+            k_train, step, mesh=mesh)
     saver.save(config.log_path, step, state.params, state.opt_state,
                max_saves=config.max_saves)
     saver.close()
     writer.close()
+    start_host_fetch(*metrics.values())
     return {k: float(v) for k, v in metrics.items()}
 
 
@@ -402,7 +408,7 @@ def host_score_shard(greedy_ids, beam_ids, refs, scorer, config, vocab,
 
 
 def _finish_step(pending, state, train_step, scorer, config, vocab, width,
-                 k_train, writer, step, schedule, mesh=None):
+                 k_train, step, mesh=None):
     """Host half of one SCST step: score the pending rollout
     (host_score_shard), then dispatch the reward-weighted train step."""
     (greedy_ids, beam_ids, im_embed, fmaps), refs = pending

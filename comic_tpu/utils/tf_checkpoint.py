@@ -191,19 +191,8 @@ def _strip_prefix_tree(name_to_array: Dict[str, np.ndarray], prefix: str,
                        root_scope: str) -> Dict[str, Any]:
     """Strip `prefix` then the slim root scope (may be '' — nasnet/pnasnet
     checkpoints carry no root scope) and nest into a param tree."""
-    inner = {}
-    for name, arr in name_to_array.items():
-        if not name.startswith(prefix):
-            continue
-        inner[name[len(prefix):]] = arr
-    if not root_scope:
-        tree: Dict[str, Any] = {}
-        for name, arr in inner.items():
-            parts = name.split("/")
-            if _dropped_scope(parts[0]):
-                continue
-            _walk_set(tree, parts, np.asarray(arr))
-        return tree
+    inner = {name[len(prefix):]: arr for name, arr in name_to_array.items()
+             if name.startswith(prefix)}
     return slim_reader_to_tree(inner, root_scope)
 
 

@@ -130,7 +130,7 @@ class TestFinishStepPairing:
         pending = ((greedy, beam, jnp.zeros((2, 4)), jnp.zeros((2, 3, 4))),
                    refs)
         _finish_step(pending, None, fake_train_step, scorer, c, v, 6,
-                     jax.random.PRNGKey(0), None, 0, None)
+                     jax.random.PRNGKey(0), 0)
         hypo = captured["hypo"]
         # image-major: rows 0,1 are image 0's beams; rows 2,3 image 1's
         np.testing.assert_array_equal(hypo[0], [4, 0, 1, 2, 5, -1])  # im0 b0
