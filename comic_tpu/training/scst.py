@@ -114,12 +114,17 @@ def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary,
         memory = precompute(params["decoder"]["attention"],
                             spec.decoder.attention, fmaps,
                             dtype=spec.compute_dtype)
+        # early_exit: stop each decode once every row/beam emitted EOS
+        # (output-identical to the fixed-length scan; the reference's
+        # dynamic_decode also stops). Early in training captions rarely
+        # finish, so this costs ~nothing then and pays as they shorten.
         greedy = greedy_or_sample_from_memory(
             params["decoder"], spec, im_embed, memory, max_steps=steps,
-            collect_alignments=False)
+            collect_alignments=False, early_exit=True)
         _, all_beams = beam_search_from_memory(
             params["decoder"], spec, im_embed, memory, beam_size=beam,
-            max_steps=steps, length_penalty=0.0, collect_alignments=False)
+            max_steps=steps, length_penalty=0.0, collect_alignments=False,
+            early_exit=True)
         return greedy.ids, all_beams["ids"], im_embed, fmaps
 
     if mesh is not None:
