@@ -379,8 +379,11 @@ def bench_scst_loop(config, spec, params, vocab):
         np.asarray(metrics["total_loss"])
         return batch * steps / (time.time() - t0)
 
-    eps_off = run(overlap=False)
-    eps_on = run(overlap=True)
+    # best-of-2: the tunnel's latency jitter dominates run-to-run variance
+    # of this host-interleaved loop (observed 190-270 ex/s overlapped on
+    # identical code)
+    eps_off = max(run(overlap=False), run(overlap=False))
+    eps_on = max(run(overlap=True), run(overlap=True))
     print(f"scst loop (batch {batch}, beam {config.scst_beam_size}): "
           f"{eps_on:.1f} ex/s overlapped, {eps_off:.1f} ex/s strict "
           f"on-policy", file=sys.stderr)
