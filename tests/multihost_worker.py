@@ -134,6 +134,12 @@ def main(out_path):
         NamedSharding(mesh, P(None, "data")),
         beam_glob[:, 4 * pid: 4 * pid + 4])
 
+    # the production rollout starts async host copies on these sharded
+    # arrays before scoring — exercise that path on real 2-process shards
+    from comic_tpu.parallel.mesh import start_host_fetch
+
+    start_host_fetch(greedy_sh, beam_sh)
+
     width = 8
     hypo_g, rew_g, metrics = host_score_shard(
         greedy_sh, beam_sh, refs_glob, scorer, config, vocab, width,
