@@ -256,6 +256,18 @@ def convert_slim_checkpoint(ckpt_path: str, out_path: str,
 # checkpoint), the converter matches each decoder variable by its
 # UNAMBIGUOUS NAME SUFFIX under `Model/decoder/` rather than the full path,
 # preferring non-uniquified scopes when duplicates exist.
+#
+# Validation status: the `variable_scope(None, default_name=...)`
+# uniquification that produces the eval-graph '..._1' duplicates was
+# verified empirically under tf.compat.v1 (second open of the same
+# default-named scope yields 'multi_add_attention_1'); the leaf suffixes
+# themselves come from the reference/contrib sources cited above (Dense
+# layer names, BasicLSTMCell/GRUCell variable names, ops.linear 'weight',
+# contrib layer_norm 'gamma'/'beta'). The full TF1 Layer scope-capture
+# machinery is no longer runnable here (Keras 3 removed v1.layers /
+# rnn_cell) — the suffix matcher exists precisely so conversion does not
+# depend on the unverifiable part of the chain, and every mismatch fails
+# loudly (missing-suffix KeyError / shape ValueError).
 
 _SLOT_NAMES = frozenset({"adam", "momentum", "rmsprop", "ema",
                          "exponentialmovingaverage"})
