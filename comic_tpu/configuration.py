@@ -226,5 +226,9 @@ def load_config(path: str) -> Config:
     # by current code carry the version marker, so a DELIBERATE cap of 1
     # survives.
     if version < 2 and d.get("num_data_shards") == 1:
+        print("NOTE: config.pkl predates the num_data_shards version "
+              "marker; treating num_data_shards=1 (the old inert default) "
+              "as 0 (uncapped). Set it to 1 again after loading if the "
+              "single-shard cap was deliberate.")
         d["num_data_shards"] = 0
     return Config(**d)

@@ -238,6 +238,12 @@ def evaluate_perplexity(eval_step, params, pipeline) -> float:
     for images, caps in pipeline.epoch():
         # raw numpy in: jit shards + transfers per its in_shardings
         losses.append(eval_step(params, images, caps))
+        # Bound in-flight staged batches: without an occasional sync the
+        # number of queued host->device transfers grows with eval-set
+        # size (only the PJRT inflight cap would contain it). One sync
+        # per 32 dispatches keeps the pipeline while capping buffers.
+        if len(losses) % 32 == 0:
+            np.asarray(losses[-1])
     if not losses:
         return float("nan")
     # one stacked transfer instead of a per-scalar sync (each sync is a

@@ -381,9 +381,11 @@ def _pick_by_suffix(names, suffix: str) -> Optional[str]:
         return None
     cands.sort(key=lambda n: (_dup_scope_rank(n), len(n), n))
     best = cands[0]
+    # Every same-uniquification-rank candidate is ambiguous — a shorter
+    # path must not silently win over a longer one sharing the suffix
+    # (that could mask a genuine collision in an unusual checkpoint).
     ties = [n for n in cands[1:]
-            if _dup_scope_rank(n) == _dup_scope_rank(best)
-            and len(n) == len(best)]
+            if _dup_scope_rank(n) == _dup_scope_rank(best)]
     if ties:
         raise ValueError(
             f"Ambiguous checkpoint variables for suffix {suffix!r}: "
@@ -485,7 +487,15 @@ def convert_reference_tree(name_to_array: Dict[str, np.ndarray],
             return {k: merge(tpl[k], conv.get(k, {}), f"{path}/{k}")
                     for k in tpl}
         arr = np.asarray(conv, dtype=np.float32)
-        return arr.reshape(np.shape(tpl))  # scalar () leaves
+        tpl_shape = tuple(np.shape(tpl))
+        # Only the scalar-vs-(1,)/() normalization may reshape; any other
+        # size-equal mismatch (e.g. a transposed kernel) must fail loudly
+        # instead of being silently reinterpreted.
+        if tuple(arr.shape) != tpl_shape and arr.size != 1:
+            raise ValueError(
+                f"Shape mismatch for converted param {path}: "
+                f"ckpt {tuple(arr.shape)} vs model {tpl_shape}")
+        return arr.reshape(tpl_shape)
 
     return {"encoder": merge(enc_tpl, encoder, "encoder"),
             "decoder": merge(dec_tpl, decoder, "decoder")}
