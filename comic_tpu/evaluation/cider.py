@@ -11,8 +11,16 @@ common/coco_caption/pycocoevalcap/cider/):
     (min(g_h, g_r) . g_r), multiplies by a Gaussian length penalty
     exp(-(len_h - len_r)^2 / (2 * 6^2)), averages over refs and n, x10;
   - document frequency either computed from the evaluation corpus ('corpus'
-    mode) or loaded from the SCST IDF cache (`df` dict + ref_len = log N),
-    matching ciderD_scorer.py:78-84.
+    mode) or loaded from the SCST IDF cache (`df` dict + ref_len = RAW
+    image count N; log applied here, matching ciderD_scorer.py:82 which
+    does ``np.log(float(pkl_file['ref_len']))`` on a cache that stores the
+    raw count — prepro_ngrams.py:150 / get_ngrams returns len(refs_words)).
+
+Reference quirk reproduced deliberately: the "length" used by the CIDEr-D
+Gaussian penalty is the BIGRAM token count (``if n == 1: length +=
+term_freq``, ciderD_scorer.py:151-152), i.e. max(len(words)-1, 0) — NOT
+the word count. The two differ only when a sentence has < 2 words, which
+SCST rollouts can produce (EOS at step 0), so we match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -50,7 +58,10 @@ class _CiderBase:
         {'document_frequency', 'ref_len'} / path handled by caller."""
         if isinstance(df, dict):
             self.df = df["document_frequency"]
-            self.log_n = float(df["ref_len"])
+            # cache stores the raw corpus size (reference artifact format,
+            # prepro_ngrams.py:150); the scorer applies the log
+            # (ciderD_scorer.py:82)
+            self.log_n = math.log(float(df["ref_len"]))
         else:
             self.df = None
             self.log_n = None
@@ -101,7 +112,8 @@ class CiderD(_CiderBase):
     """CIDEr-D: clipped numerator + Gaussian length penalty."""
 
     def _sim(self, hv, hn, hl, rv, rn, rl) -> np.ndarray:
-        delta = float(hl - rl)
+        # bigram-count lengths (reference quirk, see module docstring)
+        delta = float(max(hl - 1, 0) - max(rl - 1, 0))
         penalty = math.exp(-(delta ** 2) / (2 * SIGMA ** 2))
         out = np.zeros(MAX_N)
         for n in range(MAX_N):

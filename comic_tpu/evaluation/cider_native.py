@@ -10,6 +10,7 @@ reward loop's host-side Python overhead.
 from __future__ import annotations
 
 import ctypes
+import math
 import os
 import subprocess
 import threading
@@ -87,10 +88,12 @@ class NativeCiderD:
         blob = "\n".join("\x1f".join(g) for g in dfd.keys()).encode("utf-8")
         vals = np.fromiter(dfd.values(), dtype=np.float64,
                            count=len(dfd))
+        # on-disk ref_len is the raw corpus size; log applied here
+        # (ciderD_scorer.py:82 semantics)
         self._lib.ciderd_set_df(
             self._handle, blob,
             vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            len(dfd), float(cache["ref_len"]))
+            len(dfd), math.log(float(cache["ref_len"])))
 
     def __del__(self):
         try:

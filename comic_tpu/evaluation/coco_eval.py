@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .bleu import BleuScorer
-from .cider import Cider
+from .cider_native import make_ciderd
 from .ids import id_sort_key
 from .java_metrics import MeteorScorer, SpiceScorer
 from .rouge import RougeScorer
@@ -79,10 +79,18 @@ class CocoCaptionEvaluator:
         gts = tok.tokenize({k: gts_raw[k] for k in keys})
         res = tok.tokenize({k: res_raw[k] for k in keys})
 
+        # NOTE: the coco-caption "CIDEr" is NOT plain cosine CIDEr — the
+        # vendored pycocoevalcap/cider/cider_scorer.py applies min-clipping
+        # AND the Gaussian length penalty (its sim(), lines ~148-160), i.e.
+        # numerically the CIDEr-D formula in corpus-df mode. The reference's
+        # headline CIDEr numbers are computed with it, so we score with our
+        # CiderD here (plain Cider stays available for the SCST 'cider'
+        # reward, which uses the UNCLIPPED ruotianluo cider variant —
+        # scst/cider_ruotianluo/pyciderevalcap/cider/cider_scorer.py:165).
         scorers = [
             (BleuScorer(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
             (RougeScorer(), "ROUGE_L"),
-            (Cider(), "CIDEr"),
+            (make_ciderd(), "CIDEr"),
         ]
         meteor = MeteorScorer(self.jar_dir)
         if meteor.available():

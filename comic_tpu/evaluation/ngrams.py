@@ -2,9 +2,13 @@
 
 The IDF cache reproduces the reference's offline `prepro_ngrams` artifact
 (/root/reference/common/scst/prepro_ngrams.py:24-156): a pickle
-``{"document_frequency": {ngram: df}, "ref_len": log(N)}`` computed over the
+``{"document_frequency": {ngram: df}, "ref_len": N}`` computed over the
 training references, consumed by CIDEr-D during SCST
-(train_fn.py:192-201, ciderD_scorer.py:78-84).
+(train_fn.py:192-201, ciderD_scorer.py:78-84). NOTE the on-disk
+``ref_len`` is the RAW image count (prepro_ngrams.py:150 stores
+``len(refs_words)``); the scorer applies ``log`` at load
+(ciderD_scorer.py:82) — so caches written by the reference's
+prepro_ngrams.py and by this module are interchangeable.
 """
 
 from __future__ import annotations
@@ -46,8 +50,15 @@ def document_frequency(refs_per_image: Sequence[Sequence[str]], max_n: int = 4
 def build_idf_cache(refs_per_image: Sequence[Sequence[str]], max_n: int = 4
                     ) -> Dict[str, object]:
     return {
-        "document_frequency": document_frequency(refs_per_image, max_n),
-        "ref_len": math.log(float(len(refs_per_image))),
+        # a defaultdict(float), matching the reference artifact exactly
+        # (prepro_ngrams.py:67 compute_doc_freq) — the reference scorer
+        # indexes it with [] and relies on the 0.0 default for unseen
+        # ngrams (ciderD_scorer.py:143), so a plain dict would KeyError
+        # if this cache were fed back to the reference code.
+        "document_frequency": defaultdict(
+            float, document_frequency(refs_per_image, max_n)),
+        # raw count, matching the reference artifact (prepro_ngrams.py:150)
+        "ref_len": float(len(refs_per_image)),
     }
 
 

@@ -103,7 +103,13 @@ struct CiderD {
   }
 
   double sim(const Vec& h, const Vec& r) const {
-    double delta = static_cast<double>(h.length - r.length);
+    // The reference's Gaussian-penalty "length" is the BIGRAM token count
+    // (ciderD_scorer.py:151-152: `if n == 1: length += term_freq`), i.e.
+    // max(words - 1, 0) — differs from word count only for < 2-word
+    // sentences, which SCST rollouts can produce. Match it exactly.
+    double hl = h.length > 0 ? h.length - 1 : 0;
+    double rl = r.length > 0 ? r.length - 1 : 0;
+    double delta = hl - rl;
     double penalty = std::exp(-(delta * delta) / (2.0 * kSigma * kSigma));
     double acc = 0.0;
     for (int n = 0; n < kMaxN; ++n) {

@@ -166,7 +166,8 @@ class TestNgramsCli:
         df = cache["document_frequency"]
         assert df[("a",)] == 2.0  # two images
         assert df[("cat",)] == 1.0
-        np.testing.assert_allclose(cache["ref_len"], np.log(2.0))
+        # raw image count on disk (reference prepro_ngrams.py:150 format)
+        np.testing.assert_allclose(cache["ref_len"], 2.0)
 
 
 class TestSlimConverter:
