@@ -46,6 +46,10 @@ def create_parser() -> argparse.ArgumentParser:
                         "step-time profiling). Output-identical.")
     p.add_argument("--jar_dir", type=str, default="",
                    help="Directory with METEOR/SPICE/CoreNLP jars.")
+    p.add_argument("--require_ptb_jar", type=bool, default=False,
+                   help="Refuse to score through the Python PTB-tokenizer "
+                        "fallback (set for reference-parity runs; "
+                        "tokenizer skew can exceed the parity budget).")
     return p
 
 
@@ -75,7 +79,8 @@ def main(argv=None):
                                 checkpoints=args.infer_checkpoints,
                                 run_infer=bool(args.run_inference),
                                 get_metric_score=bool(args.get_metric_score),
-                                save_attention=bool(args.save_attention_maps))
+                                save_attention=bool(args.save_attention_maps),
+                                require_ptb_jar=bool(args.require_ptb_jar))
     for name, scores in results.items():
         line = "  ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items()))
         print(f"{name}: {line}")

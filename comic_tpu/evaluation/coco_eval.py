@@ -27,7 +27,7 @@ from .cider_native import make_ciderd
 from .ids import id_sort_key
 from .java_metrics import MeteorScorer, SpiceScorer
 from .rouge import RougeScorer
-from .tokenizer import PTBTokenizer
+from .tokenizer import CORENLP_JAR, PTBTokenizer
 
 METRIC_ORDER = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
                 "ROUGE_L", "CIDEr", "SPICE"]
@@ -66,8 +66,13 @@ def load_results(path: str) -> Dict[object, List[dict]]:
 class CocoCaptionEvaluator:
     """COCOEvalCap-equivalent orchestrator."""
 
-    def __init__(self, jar_dir: str = ""):
+    def __init__(self, jar_dir: str = "", require_ptb_jar: bool = False):
+        """require_ptb_jar: refuse to score through the Python PTB
+        fallback — set for parity-gate runs, where tokenizer skew vs the
+        reference's CoreNLP jar could eat the CIDEr parity budget
+        (pycocoevalcap/tokenizer/ptbtokenizer.py:24-68)."""
         self.jar_dir = jar_dir
+        self.require_ptb_jar = require_ptb_jar
         self.eval: Dict[str, float] = {}
         self.img_to_eval: Dict[int, Dict[str, float]] = {}
 
@@ -75,6 +80,21 @@ class CocoCaptionEvaluator:
                  res_raw: Dict[int, List[dict]]) -> Dict[str, float]:
         # restrict gts to scored images (loadRes semantics)
         keys = [k for k in res_raw if k in gts_raw]
+        from .tokenizer import java_available
+
+        if not java_available(self.jar_dir):
+            if self.require_ptb_jar:
+                raise RuntimeError(
+                    "PTB jar required but unavailable: this evaluation was "
+                    "marked as a parity run (require_ptb_jar), and scoring "
+                    "through the Python tokenizer fallback could shift "
+                    "BLEU/CIDEr beyond the parity budget. Provide "
+                    f"--jar_dir containing {CORENLP_JAR!r} plus a java "
+                    "runtime, or drop the requirement.")
+            print("WARNING: CoreNLP PTB jar unavailable — scoring through "
+                  "the Python tokenizer fallback (PTB-approximate; see "
+                  "evaluation/tokenizer.py). Do NOT use these scores for "
+                  "reference-parity claims.")
         tok = PTBTokenizer(self.jar_dir)
         gts = tok.tokenize({k: gts_raw[k] for k in keys})
         res = tok.tokenize({k: res_raw[k] for k in keys})
@@ -122,13 +142,13 @@ class CocoCaptionEvaluator:
 
 
 def evaluate_captions(annotations_file: str, results_file: str,
-                      jar_dir: str = ""
+                      jar_dir: str = "", require_ptb_jar: bool = False
                       ) -> Tuple[Dict[str, float], Dict[int, Dict[str, float]]]:
     """(corpus scores, per-image scores) for a result JSON
     (infer_fn.py:295-315)."""
     gts = load_annotations(annotations_file)
     res = load_results(results_file)
-    ev = CocoCaptionEvaluator(jar_dir)
+    ev = CocoCaptionEvaluator(jar_dir, require_ptb_jar=require_ptb_jar)
     scores = ev.evaluate(gts, res)
     return scores, ev.img_to_eval
 

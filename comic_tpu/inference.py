@@ -212,7 +212,8 @@ def evaluate_model(config: Config, ckpt_path: str,
                    annotations_file: Optional[str] = None,
                    jar_dir: str = "", serve=None, pipe=None,
                    run_infer: bool = True, get_metric_score: bool = True,
-                   save_attention: bool = False
+                   save_attention: bool = False,
+                   require_ptb_jar: bool = False
                    ) -> Optional[Dict[str, float]]:
     """run_inference + metric scoring + artifacts (infer_fn.py:188-292).
 
@@ -240,7 +241,8 @@ def evaluate_model(config: Config, ckpt_path: str,
         print("WARNING: no annotation file; skipping metric scoring.")
         return None
     scores, img_to_eval = evaluate_captions(annotations_file, json_path,
-                                            jar_dir)
+                                            jar_dir,
+                                            require_ptb_jar=require_ptb_jar)
     write_score_artifacts(save_dir, ckpt_name, scores, img_to_eval)
     return scores
 
@@ -251,7 +253,8 @@ def sweep_checkpoints(config: Config,
                       checkpoints: str = "all",
                       run_infer: bool = True,
                       get_metric_score: bool = True,
-                      save_attention: bool = False
+                      save_attention: bool = False,
+                      require_ptb_jar: bool = False
                       ) -> Dict[str, Dict[str, float]]:
     """Evaluate the reference's checkpoint selection: all compact ckpts
     (last 12 when more than 20 exist, infer.py:90-97), or an explicit
@@ -304,7 +307,8 @@ def sweep_checkpoints(config: Config,
                                 serve=serve, pipe=pipe,
                                 run_infer=run_infer,
                                 get_metric_score=get_metric_score,
-                                save_attention=save_attention)
+                                save_attention=save_attention,
+                                require_ptb_jar=require_ptb_jar)
         if scores is not None:
             results[name] = scores
     return results

@@ -144,7 +144,8 @@ class TestTokenizer:
     def test_python_fallback(self):
         assert _python_tokenize_line("A man, riding; a bike!") == \
             "a man riding a bike"
-        assert _python_tokenize_line("Don't stop.") == "don't stop"
+        # PTB contraction splitting (CoreNLP: "don't" -> "do n't")
+        assert _python_tokenize_line("Don't stop.") == "do n't stop"
 
     def test_tokenize_interface(self):
         tok = PTBTokenizer()

@@ -1,0 +1,160 @@
+"""Tokenizer-parity insurance (VERDICT r3 item 6).
+
+The reference scores captions through CoreNLP's PTBTokenizer
+(-preserveLines -lowerCase) then strips a punctuation list
+(pycocoevalcap/tokenizer/ptbtokenizer.py:24-68). No jar exists in this
+environment, so parity rests on three legs:
+
+1. A RECONSTRUCTED jar-output fixture: edge-case captions paired with the
+   token stream CoreNLP 3.4.1 emits for them (reconstructed from the
+   PTBLexer's documented behavior — contraction splitting, bracket
+   normalization, latex quotes; marked for replacement with a real-jar
+   recording when one is available). The test pushes the fixture's raw
+   captions through the Python fallback and the fixture's jar lines
+   through the reference's own postfilter and asserts equality.
+2. A REPLAYING fake jar: a fake `java` on PATH replays the fixture's jar
+   stdout, exercising PTBTokenizer._java_tokenize's real protocol (temp
+   file + stdin + line framing + uppercase-list filtering) end to end,
+   and asserts the jar path and the fallback path give identical corpora.
+3. The fallback guard: evaluate_captions(require_ptb_jar=True) must
+   refuse to score when the jar is unavailable, and the evaluator must
+   warn when it silently falls back.
+"""
+
+import json
+import os
+import stat
+import sys
+
+import pytest
+
+from comic_tpu.evaluation.coco_eval import CocoCaptionEvaluator
+from comic_tpu.evaluation.tokenizer import (CORENLP_JAR, PTBTokenizer,
+                                            PUNCTUATIONS,
+                                            _python_tokenize_line,
+                                            java_available)
+
+# (raw caption, CoreNLP 3.4.1 `-preserveLines -lowerCase` stdout line)
+# Reconstructed from the PTBLexer spec; high-confidence cases only.
+FIXTURE = [
+    ("A man riding a bike.",
+     "a man riding a bike ."),
+    ("Don't stop believing!",
+     "do n't stop believing !"),
+    ("It's a dog's life, isn't it?",
+     "it 's a dog 's life , is n't it ?"),
+    ("They're sure we've won; I'll wait, he'd know, I'm here.",
+     "they 're sure we 've won ; i 'll wait , he 'd know , i 'm here ."),
+    ("A (small) dog [on a mat] {sleeping}",
+     "a -lrb- small -rrb- dog -lsb- on a mat -rsb- -lcb- sleeping -rcb-"),
+    ('He said "hello world" loudly.',
+     "he said `` hello world '' loudly ."),
+    ("A well-lit room -- very nice...",
+     "a well-lit room -- very nice ..."),
+    ("There are 1,000 people and $5 bills",
+     "there are 1,000 people and $ 5 bills"),
+    ("The cats' toys at ten o'clock",
+     "the cats ' toys at ten o'clock"),
+    ("won't can't cannot gonna",
+     "wo n't ca n't can not gon na"),
+    ("“Fancy” ‘quotes’ too…",
+     "`` fancy '' ` quotes ' too ..."),
+    ("Café au lait",
+     "café au lait"),
+    ("a   caption  with   extra spaces",
+     "a caption with extra spaces"),
+    ("", ""),
+]
+
+
+def _reference_postfilter(jar_line: str) -> str:
+    """ptbtokenizer.py:64-65 verbatim semantics: split on ' ', drop the
+    UPPERCASE punctuation list (lowercased -lrb- etc. survive)."""
+    return " ".join(w for w in jar_line.rstrip().split(" ")
+                    if w not in PUNCTUATIONS and w != "")
+
+
+class TestReconstructedFixture:
+    @pytest.mark.parametrize("raw,jar_line", FIXTURE,
+                             ids=[f"case{i}" for i in range(len(FIXTURE))])
+    def test_fallback_matches_jar_postfilter(self, raw, jar_line):
+        assert _python_tokenize_line(raw) == _reference_postfilter(jar_line)
+
+    def test_bracket_tokens_survive(self):
+        # the reference's lowercase/uppercase filter quirk, reproduced
+        out = _python_tokenize_line("a (dog)")
+        assert out == "a -lrb- dog -rrb-"
+
+    def test_idempotent_on_tokenized_output(self):
+        # re-tokenizing scored captions (e.g. SCST hypo re-encode) is stable
+        for raw, _ in FIXTURE:
+            once = _python_tokenize_line(raw)
+            assert _python_tokenize_line(once) == once
+
+
+@pytest.fixture
+def replay_jar_dir(tmp_path, monkeypatch):
+    """Fake `java` that replays the fixture's recorded jar stdout for
+    whatever lines arrive on stdin (keyed by raw lowercased text)."""
+    mapping = {raw.replace("\n", " "): jar for raw, jar in FIXTURE}
+    (tmp_path / "mapping.json").write_text(json.dumps(mapping))
+    replay = tmp_path / "replay.py"
+    replay.write_text(f"""#!{sys.executable}
+import json, sys
+with open({str(tmp_path / 'mapping.json')!r}) as f:
+    mapping = json.load(f)
+data = sys.stdin.read()
+lines = data.split("\\n")
+out = [mapping[l] for l in lines]
+sys.stdout.write("\\n".join(out) + "\\n")
+""")
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    java = bindir / "java"
+    java.write_text(f'#!/bin/sh\nexec "{replay}"\n')
+    for f in (java, replay):
+        f.chmod(f.stat().st_mode | stat.S_IEXEC)
+    (tmp_path / CORENLP_JAR).write_text("")
+    monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{os.environ['PATH']}")
+    return str(tmp_path)
+
+
+class TestJarProtocol:
+    def test_jar_and_fallback_agree_corpus_level(self, replay_jar_dir):
+        caps = {i: [{"caption": raw}] for i, (raw, _) in enumerate(FIXTURE)}
+        assert java_available(replay_jar_dir)
+        via_jar = PTBTokenizer(replay_jar_dir).tokenize(caps)
+        fallback = PTBTokenizer("").tokenize(caps)
+        assert via_jar == fallback
+
+    def test_used_fallback_flag(self):
+        tok = PTBTokenizer("")
+        assert not tok.used_fallback
+        tok.tokenize({0: [{"caption": "a dog"}]})
+        assert tok.used_fallback
+
+
+class TestFallbackGuard:
+    def test_require_ptb_jar_refuses(self):
+        ev = CocoCaptionEvaluator(jar_dir="", require_ptb_jar=True)
+        with pytest.raises(RuntimeError, match="parity"):
+            ev.evaluate({0: [{"caption": "a dog"}]},
+                        {0: [{"caption": "a dog"}]})
+
+    def test_warns_on_silent_fallback(self, capsys):
+        ev = CocoCaptionEvaluator(jar_dir="")
+        ev.evaluate({0: [{"caption": "a dog runs"}]},
+                    {0: [{"caption": "a dog runs"}]})
+        assert "fallback" in capsys.readouterr().out
+
+    def test_cli_flag_threads_through(self, tmp_path):
+        # evaluate_captions honors the flag without touching a model
+        from comic_tpu.evaluation.coco_eval import evaluate_captions
+        ann = tmp_path / "ann.json"
+        ann.write_text(json.dumps(
+            {"annotations": [{"image_id": 1, "caption": "a dog"}]}))
+        res = tmp_path / "res.json"
+        res.write_text(json.dumps([{"image_id": 1, "caption": "a dog"}]))
+        with pytest.raises(RuntimeError, match="parity"):
+            evaluate_captions(str(ann), str(res), jar_dir="",
+                              require_ptb_jar=True)
