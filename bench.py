@@ -92,6 +92,7 @@ def bench_serving(config, spec, params, steps, beam):
 
     rng = np.random.default_rng(0)
     best, best_batch = 0.0, 0
+    ms_by_batch = {}
     # 192 measured 4038 captions/s (bad tiling for 576 beam rows) — skip it
     for batch in (64, 128, 256):
         images_u8 = jnp.asarray(
@@ -103,12 +104,13 @@ def bench_serving(config, spec, params, steps, beam):
         except Exception as e:  # OOM at large batch etc.
             print(f"batch {batch}: {type(e).__name__}: {e}", file=sys.stderr)
             break
+        ms_by_batch[batch] = ms
         cps = batch / (ms / 1e3)
         print(f"batch {batch}: {cps:.1f} captions/s ({ms:.2f} ms/batch, "
               f"{steps} decode steps)", file=sys.stderr)
         if cps > best:
             best, best_batch = cps, batch
-    return best, best_batch
+    return best, best_batch, ms_by_batch
 
 
 def bench_serving_floor(config, spec, params, steps, beam):
@@ -147,6 +149,70 @@ def bench_serving_floor(config, spec, params, steps, beam):
     print(f"serving floor (b{batch}, early-exit at step 1): {ms:.2f} ms",
           file=sys.stderr)
     return ms
+
+
+def roofline_serving(config, serve_spec, params, steps, beam,
+                     serve_ms_b128, floor_ms):
+    """Analytic FLOPs/bytes per serving phase + utilization derivations.
+
+    Traces the SAME serve program the throughput bench runs (batch 128)
+    and splits it into encoder+precompute vs the 60 decode steps via the
+    while-loop trip-count hint (roofline.count_costs). Host-side only —
+    no device work. The decode-step measured time is
+    (serve_ms - floor_ms)/steps; the floor measurement still contains one
+    decode iteration + dispatch, so the per-step utilization is a mild
+    UNDERestimate (documented in BENCH json field names)."""
+    import jax
+    import jax.numpy as jnp
+
+    from comic_tpu.data.preprocessing import preprocess_batch
+    from comic_tpu.decoding import beam_search
+    from comic_tpu.decoding.search import _prepare_memory
+    from comic_tpu.utils.roofline import count_costs, utilization_fields
+
+    h, w = config.cnn_input_size
+    batch = 128
+    images_u8 = jax.ShapeDtypeStruct((batch, 256, 256, 3), jnp.uint8)
+
+    def serve(params, images_u8):
+        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
+                                  False)
+        top, _ = beam_search(params, serve_spec, images, beam_size=beam,
+                             max_steps=steps,
+                             length_penalty=config.infer_length_penalty_weight,
+                             collect_alignments=False, early_exit=True)
+        return top.ids
+
+    def prep(params, images_u8):
+        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
+                                  False)
+        return _prepare_memory(params, serve_spec, images)
+
+    cost_full = count_costs(serve, params, images_u8,
+                            while_trip_count=float(steps))
+    cost_no_decode = count_costs(serve, params, images_u8,
+                                 while_trip_count=0.0)
+    cost_prep = count_costs(prep, params, images_u8)
+    cost_step = (cost_full - cost_no_decode).scaled(1.0 / steps)
+
+    fields = {}
+    if serve_ms_b128:
+        fields.update(utilization_fields(cost_full, serve_ms_b128,
+                                         prefix="serve_b128_"))
+        step_ms = max((serve_ms_b128 - floor_ms) / steps, 1e-6)
+        fields["decode_step_ms_est"] = round(step_ms, 4)
+        fields.update(utilization_fields(cost_step, step_ms,
+                                         prefix="decode_step_"))
+    if floor_ms:
+        fields.update(utilization_fields(cost_prep, floor_ms,
+                                         prefix="encoder_prep_b128_"))
+    # the split that backs the "decode is VPU-bound" claim: per decode
+    # step the MXU sees ~K matmul GFLOPs while the VPU sweeps ~E gelems
+    fields["decode_step_matmul_gflops"] = round(cost_step.mxu_flops / 1e9, 3)
+    fields["decode_step_vpu_melems"] = round(cost_step.vpu_elems / 1e6, 3)
+    for f in sorted(k for k in fields):
+        print(f"roofline {f}: {fields[f]}", file=sys.stderr)
+    return fields
 
 
 def bench_xe_step(config, spec, params, vocab):
@@ -217,7 +283,14 @@ def bench_xe_step(config, spec, params, vocab):
                          iters=10, sync=lambda o: np.asarray(o)) / k
     print(f"xe train step (batch {batch}, scan of {k}/dispatch): "
           f"{ms_k:.2f} ms/step", file=sys.stderr)
-    return ms, ms_k
+
+    from comic_tpu.utils.roofline import count_costs, utilization_fields
+
+    cost = count_costs(train_step, holder["state"], images_u8, caps, key)
+    fields = utilization_fields(cost, ms, prefix="xe_step_b32_")
+    for f in sorted(fields):
+        print(f"roofline {f}: {fields[f]}", file=sys.stderr)
+    return ms, ms_k, fields
 
 
 def bench_scst(config, spec, params, vocab):
@@ -279,7 +352,21 @@ def bench_scst(config, spec, params, vocab):
                              iters=20, sync=lambda o: np.asarray(o))
     print(f"scst train step (batch {batch}x{beam}): {train_ms:.2f} ms",
           file=sys.stderr)
-    return roll_ms, train_ms
+
+    from comic_tpu.models.captioner import max_decode_steps
+    from comic_tpu.utils.roofline import count_costs, utilization_fields
+
+    fields = utilization_fields(
+        count_costs(rollout, params, images_u8, key,
+                    while_trip_count=float(max_decode_steps(config, vocab))),
+        roll_ms, prefix="scst_rollout_b10_")
+    fields.update(utilization_fields(
+        count_costs(train_step, holder["state"], im_embed, fmaps, hypo,
+                    rewards, key),
+        train_ms, prefix="scst_train_b10_"))
+    for f in sorted(fields):
+        print(f"roofline {f}: {fields[f]}", file=sys.stderr)
+    return roll_ms, train_ms, fields
 
 
 def bench_scst_loop(config, spec, params, vocab):
@@ -410,11 +497,16 @@ def main():
     # early; an unreachable end id forces all max_steps iterations so the
     # number reflects full-length caption generation.
     serve_spec = spec._replace(decoder=spec.decoder._replace(end_id=-1))
-    best, best_batch = bench_serving(config, serve_spec, params, steps, beam)
+    best, best_batch, ms_by_batch = bench_serving(config, serve_spec, params,
+                                                 steps, beam)
     floor_ms = bench_serving_floor(config, spec, params, steps, beam)
+    roofline = roofline_serving(config, serve_spec, params, steps, beam,
+                                ms_by_batch.get(128), floor_ms)
 
-    xe_ms, xe_scan_ms = bench_xe_step(config, spec, params, vocab)
-    roll_ms, scst_ms = bench_scst(config, spec, params, vocab)
+    xe_ms, xe_scan_ms, xe_fields = bench_xe_step(config, spec, params, vocab)
+    roofline.update(xe_fields)
+    roll_ms, scst_ms, scst_fields = bench_scst(config, spec, params, vocab)
+    roofline.update(scst_fields)
     scst_eps_on, scst_eps_off = bench_scst_loop(config, spec, params, vocab)
 
     # reference-artifact continuity: infer_speed.txt line
@@ -437,6 +529,10 @@ def main():
         "scst_loop_eps_overlap": round(scst_eps_on, 1),
         "scst_loop_eps_strict": round(scst_eps_off, 1),
         "serve_floor_ms_b128_earlyexit": round(floor_ms, 2),
+        # analytic roofline/MFU derivations (comic_tpu/utils/roofline.py):
+        # mfu = traced-jaxpr MXU flops / (measured s * 197e12 bf16 peak);
+        # hbm_util_lower uses compulsory program I/O bytes / 819 GB/s
+        "roofline": roofline,
     }))
 
 

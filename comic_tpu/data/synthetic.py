@@ -37,11 +37,17 @@ def make_synthetic_dataset(
     seed: int = 0,
     captions_per_image: int = 2,
     style: str = "coco",
+    test_mirrors_train: bool = False,
 ) -> Tuple[str, Vocabulary]:
     """Create a dataset under `root`; returns (dataset_dir, vocab).
 
     style='insta' names images like InstaPIC posts (no trailing numeric
-    id), so image ids stay STRINGS end to end (insta_prepro.py)."""
+    id), so image ids stay STRINGS end to end (insta_prepro.py).
+
+    test_mirrors_train=True makes the *test* split reuse the train images
+    AND captions, so inference on `test` measures memorization of the
+    training set — the overfit-convergence gate's fixture
+    (tests/test_overfit_gate.py)."""
     rng = random.Random(seed)
     np_rng = np.random.default_rng(seed)
     os.makedirs(pjoin(root, "captions"), exist_ok=True)
@@ -75,6 +81,8 @@ def make_synthetic_dataset(
                     all_train_tokens.append(toks)
             img_idx += 1
         records[split] = rows
+    if test_mirrors_train:
+        records["test"] = list(records["train"])
 
     vocab = build_vocab(all_train_tokens, word_count_thres=1,
                         caption_len_thres=20)
