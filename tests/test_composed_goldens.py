@@ -416,11 +416,67 @@ class TestInceptionV4Golden:
                                    rtol=1e-3, atol=2e-3)
 
 
+def inception_v1_twin_endpoints(pn, x):
+    """Raw tf.nn twin of the WHOLE inception_v1 (stem, all 9 mixed
+    blocks, both mid-network pools), built from a hand-transcribed slim
+    filter table (slim inception_v1.py:66-208). Returns {Mixed_*: tensor}.
+
+    Shared by the full-network golden below and the full-pipeline
+    encoder+decoder twin in tests/test_full_pipeline_twin.py.
+    """
+    from comic_tpu.models import inception_v1 as iv1
+
+    eps = iv1.BN_EPS
+
+    def conv(pp, y, stride=1):
+        return tf.nn.relu(_bn(pp, tf.nn.conv2d(
+            y, pp["weights"], strides=stride, padding="SAME"), eps))
+
+    # hand-copied slim inception_v1 mixed-block filter table:
+    # (name, b0, (b1a, b1b), (b2a, b2b), b3)
+    table = [
+        ("Mixed_3b", 64, (96, 128), (16, 32), 32),
+        ("Mixed_3c", 128, (128, 192), (32, 96), 64),
+        ("MaxPool_4a_3x3", None, None, None, None),
+        ("Mixed_4b", 192, (96, 208), (16, 48), 64),
+        ("Mixed_4c", 160, (112, 224), (24, 64), 64),
+        ("Mixed_4d", 128, (128, 256), (24, 64), 64),
+        ("Mixed_4e", 112, (144, 288), (32, 64), 64),
+        ("Mixed_4f", 256, (160, 320), (32, 128), 128),
+        ("MaxPool_5a_2x2", None, None, None, None),
+        ("Mixed_5b", 256, (160, 320), (32, 128), 128),
+        ("Mixed_5c", 384, (192, 384), (48, 128), 128),
+    ]
+
+    y = conv(pn["Conv2d_1a_7x7"], x, 2)
+    y = tf.nn.max_pool2d(y, 3, 2, "SAME")
+    y = conv(pn["Conv2d_2b_1x1"], y)
+    y = conv(pn["Conv2d_2c_3x3"], y)
+    y = tf.nn.max_pool2d(y, 3, 2, "SAME")
+    want = {}
+    for name, b0c, b1c, b2c, b3c in table:
+        if name.startswith("MaxPool"):
+            k = 2 if "2x2" in name else 3
+            y = tf.nn.max_pool2d(y, k, 2, "SAME")
+            continue
+        m = pn[name]
+        b0 = conv(m["Branch_0"]["Conv2d_0a_1x1"], y)
+        b1 = conv(m["Branch_1"]["Conv2d_0a_1x1"], y)
+        b1 = conv(m["Branch_1"]["Conv2d_0b_3x3"], b1)
+        b2 = conv(m["Branch_2"]["Conv2d_0a_1x1"], y)
+        b2 = conv(m["Branch_2"]["Conv2d_0b_3x3"], b2)
+        b3 = tf.nn.max_pool2d(y, 3, 1, "SAME")
+        b3 = conv(m["Branch_3"]["Conv2d_0b_1x1"], b3)
+        assert b0.shape[-1] == b0c and b1.shape[-1] == b1c[1]
+        assert b2.shape[-1] == b2c[1] and b3.shape[-1] == b3c
+        y = tf.concat([b0, b1, b2, b3], axis=3)
+        want[name] = y
+    return want
+
+
 class TestInceptionV1FullGolden:
     def test_full_network_through_mixed_5c_matches_tf(self, rng):
-        """The WHOLE inception_v1 — stem, all 9 mixed blocks, both
-        mid-network pools — against a raw tf.nn twin built from a
-        hand-transcribed slim filter table (slim inception_v1.py:66-208).
+        """The WHOLE inception_v1 against the raw tf.nn twin above.
         Covers both captioning endpoints: Mixed_4f (attention memory) and
         the pooled Mixed_5c (im_embed)."""
         from comic_tpu.models import inception_v1 as iv1
@@ -429,51 +485,7 @@ class TestInceptionV1FullGolden:
                        w_std=0.05)
         x = (rng.normal(size=(1, 96, 96, 3)) * 0.5).astype(np.float32)
         pn = _np(p)
-        eps = iv1.BN_EPS
-
-        def conv(pp, y, stride=1):
-            return tf.nn.relu(_bn(pp, tf.nn.conv2d(
-                y, pp["weights"], strides=stride, padding="SAME"), eps))
-
-        # hand-copied slim inception_v1 mixed-block filter table:
-        # (name, b0, (b1a, b1b), (b2a, b2b), b3)
-        table = [
-            ("Mixed_3b", 64, (96, 128), (16, 32), 32),
-            ("Mixed_3c", 128, (128, 192), (32, 96), 64),
-            ("MaxPool_4a_3x3", None, None, None, None),
-            ("Mixed_4b", 192, (96, 208), (16, 48), 64),
-            ("Mixed_4c", 160, (112, 224), (24, 64), 64),
-            ("Mixed_4d", 128, (128, 256), (24, 64), 64),
-            ("Mixed_4e", 112, (144, 288), (32, 64), 64),
-            ("Mixed_4f", 256, (160, 320), (32, 128), 128),
-            ("MaxPool_5a_2x2", None, None, None, None),
-            ("Mixed_5b", 256, (160, 320), (32, 128), 128),
-            ("Mixed_5c", 384, (192, 384), (48, 128), 128),
-        ]
-
-        y = conv(pn["Conv2d_1a_7x7"], x, 2)
-        y = tf.nn.max_pool2d(y, 3, 2, "SAME")
-        y = conv(pn["Conv2d_2b_1x1"], y)
-        y = conv(pn["Conv2d_2c_3x3"], y)
-        y = tf.nn.max_pool2d(y, 3, 2, "SAME")
-        want = {}
-        for name, b0c, b1c, b2c, b3c in table:
-            if name.startswith("MaxPool"):
-                k = 2 if "2x2" in name else 3
-                y = tf.nn.max_pool2d(y, k, 2, "SAME")
-                continue
-            m = pn[name]
-            b0 = conv(m["Branch_0"]["Conv2d_0a_1x1"], y)
-            b1 = conv(m["Branch_1"]["Conv2d_0a_1x1"], y)
-            b1 = conv(m["Branch_1"]["Conv2d_0b_3x3"], b1)
-            b2 = conv(m["Branch_2"]["Conv2d_0a_1x1"], y)
-            b2 = conv(m["Branch_2"]["Conv2d_0b_3x3"], b2)
-            b3 = tf.nn.max_pool2d(y, 3, 1, "SAME")
-            b3 = conv(m["Branch_3"]["Conv2d_0b_1x1"], b3)
-            assert b0.shape[-1] == b0c and b1.shape[-1] == b1c[1]
-            assert b2.shape[-1] == b2c[1] and b3.shape[-1] == b3c
-            y = tf.concat([b0, b1, b2, b3], axis=3)
-            want[name] = y
+        want = inception_v1_twin_endpoints(pn, x)
 
         _, ep = iv1.apply(p, jnp.asarray(x))
         for name in ("Mixed_4f", "Mixed_5c"):

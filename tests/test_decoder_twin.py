@@ -131,19 +131,22 @@ def _twin_greedy(w, heads, probability, start_id, end_id, max_steps,
     attn = tf.zeros((b, int(w["w_query"].shape[1])))
     prev = np.full((b,), start_id, np.int32)
     finished = np.zeros((b,), bool)
-    out = []
+    out, aligns = [], []
     for _ in range(max_steps):
         emb = tf.matmul(tf.one_hot(prev, softmax_size), w["embedding"])
         x = tf.concat([emb, attn], axis=-1)
         c, h = _twin_lstm(w, x, c, h)
-        _, attn = _twin_attention(w, heads, probability, keys,
-                                  values_split, h)
+        align, attn = _twin_attention(w, heads, probability, keys,
+                                      values_split, h)
+        # zero maps of already-finished rows, like the jax scan output
+        aligns.append(align.numpy() * ~finished[:, None, None])
         logits = (tf.matmul(h, w["w_out"]) + w["b_out"]).numpy()
         nxt = np.argmax(logits, axis=-1).astype(np.int32)
         out.append(np.where(finished, -1, nxt))
         finished = finished | (nxt == end_id)
         prev = nxt
-    return np.stack(out, axis=1)  # (B, T)
+    # ids (B, T); aligns stacked to the reference (B, H, T, L) layout
+    return np.stack(out, axis=1), np.stack(aligns, axis=2)
 
 
 @pytest.mark.parametrize("probability", ["softmax", "sigmoid"])
@@ -183,6 +186,9 @@ def test_decoder_twin_teacher_forced_and_greedy(rng, tmp_path, probability):
     dec = greedy_or_sample_from_memory(
         params["decoder"], spec, jnp.asarray(im_embed), memory,
         max_steps=12)
-    t_ids = _twin_greedy(w, heads, probability, spec.decoder.start_id,
-                         spec.decoder.end_id, 12, im_embed, fmaps)
+    t_ids, t_aligns = _twin_greedy(w, heads, probability,
+                                   spec.decoder.start_id,
+                                   spec.decoder.end_id, 12, im_embed, fmaps)
     np.testing.assert_array_equal(np.asarray(dec.ids), t_ids)
+    np.testing.assert_allclose(np.asarray(dec.alignments), t_aligns,
+                               rtol=1e-4, atol=1e-5)
