@@ -48,6 +48,36 @@ from ..models.encoders import encode_images
 
 NEG_INF = jnp.float32(-1e9)
 
+# Serving batch fence (measured on TPU v5e, tools/batch_sweep.py, r4).
+# The attention keys+values are loop-invariant across the decode scan;
+# up to ~51.4 MB (COMIC-256 shapes: batch 128 x L 196 x U 512, bf16,
+# keys+values) XLA keeps them VMEM-resident and the decode attention
+# step costs ~0.60 us/beam-row. One step past it (batch 136 = 54.6 MB)
+# they are re-streamed from HBM every decode step: +69 us/step measured
+# == 55 MB / 819 GB/s, i.e. ~0.80 us/row at EVERY batch >= 136 (b256
+# included). Between those two measured points we fence at 52 MB.
+# A user picking batch 144 over 128 silently loses ~30% throughput —
+# warn loudly at trace time (once per compiled shape).
+_VMEM_RESIDENT_BYTES = 52_000_000
+
+
+def _warn_if_memory_spills(memory: AttentionMemory, where: str) -> None:
+    """Print a loud trace-time warning when the decode's attention memory
+    exceeds the measured VMEM-residency boundary (see above)."""
+    nbytes = (memory.keys.size * memory.keys.dtype.itemsize
+              + memory.values.size * memory.values.dtype.itemsize)
+    if nbytes <= _VMEM_RESIDENT_BYTES:
+        return
+    batch, mem_len = memory.keys.shape[0], memory.keys.shape[1]
+    per_image = nbytes / batch
+    fast_batch = int(_VMEM_RESIDENT_BYTES // per_image)
+    print(f"WARNING: {where}: attention keys+values are "
+          f"{nbytes / 1e6:.1f} MB at batch {batch} — past the ~52 MB "
+          f"VMEM-residency boundary, every decode step re-streams them "
+          f"from HBM (~+35% step cost measured; tools/batch_sweep.py). "
+          f"For these shapes (L={mem_len}) batch <= {fast_batch} is the "
+          f"fast regime; prefer more, smaller batches.")
+
 
 class DecodeOutput(NamedTuple):
     ids: jnp.ndarray  # (B, T) generated token ids (PAD/EOS after finish)
@@ -101,6 +131,7 @@ def greedy_or_sample_from_memory(
     batch = im_embed.shape[0]
     heads = dcfg.attention.num_heads
     mem_len = memory.keys.shape[1]
+    _warn_if_memory_spills(memory, "greedy/sample decode")
     if rng is None:
         rng = jax.random.PRNGKey(0)
     step_keys = jax.random.split(rng, max_steps)
@@ -243,6 +274,7 @@ def beam_search_from_memory(
     heads = dcfg.attention.num_heads
     mem_len = memory.keys.shape[1]
     vocab = dcfg.softmax_size
+    _warn_if_memory_spills(memory, f"beam-{k} decode")
 
     # Beams share their image's attention memory — it stays UNtiled and is
     # read once per image per step (attend_grouped); only the tiny decoder

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from comic_tpu.models.attention import AttentionConfig, precompute
+from comic_tpu.models.attention import (AttentionConfig, AttentionMemory,
+                                         precompute)
 from comic_tpu.models.captioner import ModelSpec
 from comic_tpu.models.decoder import (
     DecoderConfig,
@@ -302,3 +303,26 @@ class TestBeam:
         for row, n in zip(ids, np.asarray(top.lengths)):
             after = row[int(n):]
             assert (after == END).all()
+
+
+class TestServingBatchFence:
+    """The >52 MB attention-memory VMEM-residency warning
+    (tools/batch_sweep.py measurement, decoding/search.py)."""
+
+    @staticmethod
+    def _memory(batch, mem_len=196, units=512, dtype=jnp.bfloat16):
+        heads = 8
+        return AttentionMemory(
+            keys=jnp.zeros((batch, mem_len, units), dtype),
+            values=jnp.zeros((batch, heads, mem_len, units // heads), dtype))
+
+    def test_b128_comic_shapes_silent(self, capsys):
+        from comic_tpu.decoding.search import _warn_if_memory_spills
+        _warn_if_memory_spills(self._memory(128), "beam-3 decode")
+        assert "WARNING" not in capsys.readouterr().out
+
+    def test_b136_comic_shapes_warns_with_fast_batch(self, capsys):
+        from comic_tpu.decoding.search import _warn_if_memory_spills
+        _warn_if_memory_spills(self._memory(136), "beam-3 decode")
+        out = capsys.readouterr().out
+        assert "re-streams" in out and "batch <= 129" in out
