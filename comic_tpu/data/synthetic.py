@@ -38,6 +38,7 @@ def make_synthetic_dataset(
     captions_per_image: int = 2,
     style: str = "coco",
     test_mirrors_train: bool = False,
+    distinct_images: bool = False,
 ) -> Tuple[str, Vocabulary]:
     """Create a dataset under `root`; returns (dataset_dir, vocab).
 
@@ -47,7 +48,14 @@ def make_synthetic_dataset(
     test_mirrors_train=True makes the *test* split reuse the train images
     AND captions, so inference on `test` measures memorization of the
     training set — the overfit-convergence gate's fixture
-    (tests/test_overfit_gate.py)."""
+    (tests/test_overfit_gate.py).
+
+    distinct_images=True draws each image as one distinctive solid colour
+    (plus mild pixel noise) instead of uniform noise. A random train-time
+    crop+flip of a noise image is an unrelatable patch — a model trained
+    on those can only ever learn the caption language-model floor — while
+    a solid colour survives ANY crop/flip, so image->caption memorization
+    is actually learnable. Use for convergence/overfit tests."""
     rng = random.Random(seed)
     np_rng = np.random.default_rng(seed)
     os.makedirs(pjoin(root, "captions"), exist_ok=True)
@@ -70,8 +78,14 @@ def make_synthetic_dataset(
                 fname = f"images/user{img_idx}_@_post.jpg"
             else:
                 fname = f"images/COCO_synth_{img_idx:012d}.jpg"
-            arr = np_rng.integers(0, 256, (image_size, image_size, 3),
-                                  dtype=np.uint8)
+            if distinct_images:
+                colour = np_rng.integers(0, 256, (1, 1, 3))
+                noise = np_rng.integers(-20, 21,
+                                        (image_size, image_size, 3))
+                arr = np.clip(colour + noise, 0, 255).astype(np.uint8)
+            else:
+                arr = np_rng.integers(0, 256, (image_size, image_size, 3),
+                                      dtype=np.uint8)
             Image.fromarray(arr).save(pjoin(root, fname), quality=60)
             n_caps = captions_per_image if split == "train" else 1
             for _ in range(n_caps):
