@@ -36,7 +36,16 @@ def ids_to_captions(
         codec = RadixCodec(len(vocab), radix_base)
         for row in ids:
             wids = codec.decode_ids(row.tolist())
-            captions.append(" ".join(vocab.word(w) for w in wids))
+            # Invalid composed ids are DROPPED (infer_fn.py:60-63
+            # `if word_id < vocab_size: ... else: pass`). Documented
+            # divergence: the reference's bound is len(config.itow),
+            # which counts the <PAD> '-1' entry, so the one phantom id
+            # == len(itow)-1 slips past its check and KeyErrors — an
+            # untrained/early checkpoint can emit it. We honor the
+            # drop-invalid intent for that id too instead of crashing
+            # the sweep.
+            captions.append(" ".join(vocab.itow[w] for w in wids
+                                     if w in vocab.itow))
     elif token_type in ("word", "char"):
         eos = vocab.eos_id
         joiner = " " if token_type == "word" else ""

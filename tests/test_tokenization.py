@@ -169,6 +169,19 @@ class TestIdsToCaptions:
         caps = ids_to_captions(np.array([[3, 3, 0, 1]]), "radix", v, radix_base=base)
         assert caps == ["cat"]
 
+    def test_radix_phantom_id_dropped_not_crash(self):
+        # len(vocab)=6 counts <PAD>, so composed id 5 == EOS exists but a
+        # phantom id len(itow)-1 does NOT exist when PAD occupies -1; the
+        # codec's bound (mirroring infer_fn.py:60) lets it through and the
+        # reference KeyErrors on it — we drop it (documented divergence,
+        # tokenization/text.py). digits [1,1] -> 5 = EOS token string.
+        v = Vocabulary({PAD: -1, "a": 0, "cat": 1, UNK: 2, GO: 3, EOS: 4})
+        # len 6 -> base 4 -> width 2; composed [1,1] -> 5: valid per the
+        # bound (5 < 6) but absent from itow (ids are -1..4)
+        caps = ids_to_captions(np.array([[1, 1, 0, 1]]), "radix", v,
+                               radix_base=4)
+        assert caps == ["cat"]
+
 
 class TestScstBatchedIds:
     def test_word_padding(self):
