@@ -20,8 +20,6 @@ import json
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
-
 from .bleu import BleuScorer
 from .cider_native import make_ciderd
 from .ids import id_sort_key

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 import types
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 REF = "/root/reference"
 
