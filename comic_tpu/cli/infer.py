@@ -46,10 +46,14 @@ def create_parser() -> argparse.ArgumentParser:
                         "step-time profiling). Output-identical.")
     p.add_argument("--jar_dir", type=str, default="",
                    help="Directory with METEOR/SPICE/CoreNLP jars.")
-    p.add_argument("--require_ptb_jar", type=bool, default=False,
-                   help="Refuse to score through the Python PTB-tokenizer "
-                        "fallback (set for reference-parity runs; "
-                        "tokenizer skew can exceed the parity budget).")
+    # type=int (0/1), NOT the reference-mirrored type=bool quirk above:
+    # this flag is new (no reference counterpart), and bool('False') is
+    # True — an explicit '--require_ptb_jar False' must mean off.
+    p.add_argument("--require_ptb_jar", type=int, default=0,
+                   help="1: refuse to score through the Python "
+                        "PTB-tokenizer fallback (set for reference-parity "
+                        "runs; tokenizer skew can exceed the parity "
+                        "budget).")
     return p
 
 

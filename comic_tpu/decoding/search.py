@@ -30,6 +30,7 @@ final ordering, beams sorted best-first.
 
 from __future__ import annotations
 
+import sys
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -71,12 +72,13 @@ def _warn_if_memory_spills(memory: AttentionMemory, where: str) -> None:
     batch, mem_len = memory.keys.shape[0], memory.keys.shape[1]
     per_image = nbytes / batch
     fast_batch = int(_VMEM_RESIDENT_BYTES // per_image)
+    # stderr: bench.py / tools/*_sweep.py promise machine-readable stdout
     print(f"WARNING: {where}: attention keys+values are "
           f"{nbytes / 1e6:.1f} MB at batch {batch} — past the ~52 MB "
           f"VMEM-residency boundary, every decode step re-streams them "
           f"from HBM (~+35% step cost measured; tools/batch_sweep.py). "
           f"For these shapes (L={mem_len}) batch <= {fast_batch} is the "
-          f"fast regime; prefer more, smaller batches.")
+          f"fast regime; prefer more, smaller batches.", file=sys.stderr)
 
 
 class DecodeOutput(NamedTuple):

@@ -96,6 +96,13 @@ class CocoCaptionEvaluator:
         tok = PTBTokenizer(self.jar_dir)
         gts = tok.tokenize({k: gts_raw[k] for k in keys})
         res = tok.tokenize({k: res_raw[k] for k in keys})
+        # belt-and-suspenders for the pre-check above: tokenize() decides
+        # per call, so a jar that passed java_available but fell back
+        # (or a future fallback path) still cannot leak into a parity run
+        if self.require_ptb_jar and tok.used_fallback:
+            raise RuntimeError(
+                "PTB jar required but tokenization used the Python "
+                "fallback — parity scores would be invalid.")
 
         # NOTE: the coco-caption "CIDEr" is NOT plain cosine CIDEr — the
         # vendored pycocoevalcap/cider/cider_scorer.py applies min-clipping

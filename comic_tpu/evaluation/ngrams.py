@@ -70,7 +70,23 @@ def save_idf_cache(path: str, cache: Dict[str, object]) -> None:
 def load_idf_cache(path: str) -> Dict[str, object]:
     with open(path, "rb") as f:
         try:
-            return pickle.load(f)
+            cache = pickle.load(f)
         except UnicodeDecodeError:
             f.seek(0)
-            return pickle.load(f, encoding="latin1")
+            cache = pickle.load(f, encoding="latin1")
+    # Legacy-format migration: before the round-4 reference certification,
+    # THIS repo's build_idf_cache stored ref_len = log(N); the reference
+    # artifact (and the current format) stores the RAW count N, with the
+    # scorer applying log at load (ciderD_scorer.py:82). A raw count is
+    # integral by construction (float(len(...))), while log(N) is
+    # non-integral for every N > 1 — so a fractional ref_len can only be
+    # a legacy cache. Convert it loudly instead of silently computing
+    # log(log(N)) downstream.
+    ref_len = cache.get("ref_len")
+    if isinstance(ref_len, float) and abs(ref_len - round(ref_len)) > 1e-9:
+        cache["ref_len"] = math.exp(ref_len)
+        print(f"NOTE: IDF cache {path!r} has non-integral ref_len "
+              f"{ref_len:.6f} — a legacy cache storing log(N); converted "
+              f"to the raw-count format (N = {cache['ref_len']:.1f}). "
+              f"Regenerate the cache to silence this.")
+    return cache

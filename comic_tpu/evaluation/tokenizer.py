@@ -107,9 +107,10 @@ def java_available(jar_dir: str = "") -> bool:
 class PTBTokenizer:
     def __init__(self, jar_dir: str = ""):
         self.jar_dir = jar_dir
-        #: True once tokenize() has scored through the Python fallback —
-        #: parity-gate runs check this (see inference.evaluate_model's
-        #: require_ptb_jar and tools/parity_gate.py).
+        #: True once tokenize() has used the Python fallback. Enforcement
+        #: for parity runs lives in coco_eval.CocoCaptionEvaluator: a
+        #: java_available() pre-check raises before tokenizing, and a
+        #: post-tokenize check on this flag backstops it.
         self.used_fallback = False
 
     def tokenize(self, captions_for_image: Dict[object, List[dict]]

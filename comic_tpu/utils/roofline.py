@@ -8,9 +8,13 @@ and derives, from static shapes alone,
   - ``matmul_flops``  — 2*M*N*K over every dot_general (MXU work)
   - ``conv_flops``    — 2*out_elems*Cin_per_group*prod(k_spatial) over every
                         conv_general_dilated (MXU work)
-  - ``vpu_elems``     — output-element count of every other array op (the
-                        VPU-bound elementwise/reduction work: LN, tanh,
-                        softmax, masking, beam bookkeeping)
+  - ``vpu_elems``     — output-element count of every other ALU array op
+                        (the VPU-bound elementwise/reduction work: LN,
+                        tanh, softmax, masking, top-k compares). Pure
+                        data-movement ops (gather/scatter/slice — e.g. the
+                        beam parent-backtrack gathers) do no VPU ALU work
+                        and are deliberately NOT counted here; their
+                        traffic shows up in ``bytes_upper``.
   - ``bytes_lower``   — program inputs + outputs (the HBM traffic of a
                         perfectly fused program; compulsory traffic)
   - ``bytes_upper``   — per-op operands + results summed (zero fusion)

@@ -324,5 +324,9 @@ class TestServingBatchFence:
     def test_b136_comic_shapes_warns_with_fast_batch(self, capsys):
         from comic_tpu.decoding.search import _warn_if_memory_spills
         _warn_if_memory_spills(self._memory(136), "beam-3 decode")
-        out = capsys.readouterr().out
-        assert "re-streams" in out and "batch <= 129" in out
+        captured = capsys.readouterr()
+        # stderr, NOT stdout: bench.py and tools/*_sweep.py promise
+        # machine-readable stdout, and their traced programs trip this
+        assert captured.out == ""
+        err = captured.err
+        assert "re-streams" in err and "batch <= 129" in err

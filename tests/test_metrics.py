@@ -130,6 +130,33 @@ class TestCider:
             df=load_idf_cache(p)).compute_score(gts, res)
         np.testing.assert_allclose(s_corpus, s_cached, rtol=1e-6)
 
+    def test_legacy_log_ref_len_cache_migrated(self, tmp_path, capsys):
+        # pre-r4 caches from THIS repo stored ref_len = log(N); the
+        # current format (matching the reference artifact) stores raw N.
+        # load_idf_cache must convert the legacy form loudly instead of
+        # letting the scorer compute log(log(N)).
+        import math
+        import pickle
+
+        from comic_tpu.evaluation.ngrams import load_idf_cache
+
+        gts = _corpus()
+        cache = build_idf_cache([gts[k] for k in gts])
+        legacy = dict(cache)
+        legacy["ref_len"] = math.log(float(cache["ref_len"]))
+        p = str(tmp_path / "legacy_idf.p")
+        with open(p, "wb") as f:
+            pickle.dump(legacy, f)
+        loaded = load_idf_cache(p)
+        assert "legacy" in capsys.readouterr().out
+        np.testing.assert_allclose(loaded["ref_len"], cache["ref_len"],
+                                   rtol=1e-12)
+        res = {0: ["a man riding a bike"], 1: ["a cat on a mat"],
+               2: ["a dog in the park"]}
+        s_raw, _ = CiderD(df=cache).compute_score(gts, res)
+        s_legacy, _ = CiderD(df=loaded).compute_score(gts, res)
+        np.testing.assert_allclose(s_legacy, s_raw, rtol=1e-9)
+
     def test_ciderd_clipping(self):
         # repeating a matching word should not inflate the score
         gts = {0: ["a a b c", "a b c d"], 1: ["x y z w", "x w z y"]}

@@ -27,6 +27,7 @@ sys.path.insert(0, ".")
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _flagship
     from bench import _pipelined_ms, real_vocab
@@ -45,7 +46,10 @@ def main():
 
     batch = 128
     beams = [int(a) for a in sys.argv[1:]] or [3, 1, 2, 5, 7]
-    images_u8 = np.asarray(
+    # device-resident pool: host numpy here would make every timed call
+    # pay ~600 ms of axon-tunnel transfer (25 MB at ~40 MB/s) and the
+    # sweep would measure the transfer floor, not the decode (CLAUDE.md)
+    images_u8 = jnp.asarray(
         rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
     sync = lambda o: np.asarray(o)
 
