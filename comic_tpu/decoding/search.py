@@ -62,23 +62,36 @@ NEG_INF = jnp.float32(-1e9)
 _VMEM_RESIDENT_BYTES = 52_000_000
 
 
-def _warn_if_memory_spills(memory: AttentionMemory, where: str) -> None:
+def _warn_if_memory_spills(memory: AttentionMemory, where: str,
+                           dp_shards: int = 1) -> None:
     """Print a loud trace-time warning when the decode's attention memory
-    exceeds the measured VMEM-residency boundary (see above)."""
+    exceeds the measured VMEM-residency boundary (see above).
+
+    ``dp_shards``: number of devices the batch axis is data-parallel
+    sharded over. Traced shapes under jit are GLOBAL, so the per-DEVICE
+    footprint — the quantity the VMEM boundary applies to — is
+    nbytes/dp_shards (e.g. global batch 1024 over 8 chips = 128/chip is
+    the fast regime and must not warn)."""
     nbytes = (memory.keys.size * memory.keys.dtype.itemsize
               + memory.values.size * memory.values.dtype.itemsize)
-    if nbytes <= _VMEM_RESIDENT_BYTES:
+    per_device = nbytes / max(int(dp_shards), 1)
+    if per_device <= _VMEM_RESIDENT_BYTES:
         return
     batch, mem_len = memory.keys.shape[0], memory.keys.shape[1]
     per_image = nbytes / batch
-    fast_batch = int(_VMEM_RESIDENT_BYTES // per_image)
+    fast_batch = int(_VMEM_RESIDENT_BYTES // per_image) * max(
+        int(dp_shards), 1)
+    shard_note = (f" ({dp_shards}-way data-parallel: "
+                  f"{per_device / 1e6:.1f} MB/device)" if dp_shards > 1
+                  else "")
     # stderr: bench.py / tools/*_sweep.py promise machine-readable stdout
     print(f"WARNING: {where}: attention keys+values are "
-          f"{nbytes / 1e6:.1f} MB at batch {batch} — past the ~52 MB "
-          f"VMEM-residency boundary, every decode step re-streams them "
-          f"from HBM (~+35% step cost measured; tools/batch_sweep.py). "
-          f"For these shapes (L={mem_len}) batch <= {fast_batch} is the "
-          f"fast regime; prefer more, smaller batches.", file=sys.stderr)
+          f"{nbytes / 1e6:.1f} MB at batch {batch}{shard_note} — past the "
+          f"~52 MB/device VMEM-residency boundary, every decode step "
+          f"re-streams them from HBM (~+35% step cost measured; "
+          f"tools/batch_sweep.py). For these shapes (L={mem_len}) batch "
+          f"<= {fast_batch} is the fast regime; prefer more, smaller "
+          f"batches.", file=sys.stderr)
 
 
 class DecodeOutput(NamedTuple):
@@ -106,21 +119,22 @@ def greedy_or_sample(
     params: Params, spec: ModelSpec, images: jnp.ndarray, *,
     max_steps: int, sample: bool = False,
     rng: Optional[jax.Array] = None, collect_alignments: bool = True,
-    early_exit: bool = False,
+    early_exit: bool = False, dp_shards: int = 1,
 ) -> DecodeOutput:
     """Greedy argmax decode, or multinomial sampling when `sample`."""
     im_embed, memory = _prepare_memory(params, spec, images)
     return greedy_or_sample_from_memory(
         params["decoder"], spec, im_embed, memory,
         max_steps=max_steps, sample=sample, rng=rng,
-        collect_alignments=collect_alignments, early_exit=early_exit)
+        collect_alignments=collect_alignments, early_exit=early_exit,
+        dp_shards=dp_shards)
 
 
 def greedy_or_sample_from_memory(
     dec_params: Params, spec: ModelSpec, im_embed: jnp.ndarray,
     memory: AttentionMemory, *, max_steps: int, sample: bool = False,
     rng: Optional[jax.Array] = None, collect_alignments: bool = True,
-    early_exit: bool = False,
+    early_exit: bool = False, dp_shards: int = 1,
 ) -> DecodeOutput:
     """Core search over precomputed encoder outputs.
 
@@ -133,7 +147,7 @@ def greedy_or_sample_from_memory(
     batch = im_embed.shape[0]
     heads = dcfg.attention.num_heads
     mem_len = memory.keys.shape[1]
-    _warn_if_memory_spills(memory, "greedy/sample decode")
+    _warn_if_memory_spills(memory, "greedy/sample decode", dp_shards)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     step_keys = jax.random.split(rng, max_steps)
@@ -239,6 +253,7 @@ def beam_search(
     params: Params, spec: ModelSpec, images: jnp.ndarray, *,
     beam_size: int, max_steps: int, length_penalty: float = 0.0,
     collect_alignments: bool = True, early_exit: bool = False,
+    dp_shards: int = 1,
 ) -> Tuple[DecodeOutput, Dict[str, jnp.ndarray]]:
     """Batched beam search, all hypothesis state on device.
 
@@ -250,14 +265,15 @@ def beam_search(
     return beam_search_from_memory(
         params["decoder"], spec, im_embed, memory, beam_size=beam_size,
         max_steps=max_steps, length_penalty=length_penalty,
-        collect_alignments=collect_alignments, early_exit=early_exit)
+        collect_alignments=collect_alignments, early_exit=early_exit,
+        dp_shards=dp_shards)
 
 
 def beam_search_from_memory(
     dec_params: Params, spec: ModelSpec, im_embed: jnp.ndarray,
     memory: AttentionMemory, *, beam_size: int, max_steps: int,
     length_penalty: float = 0.0, collect_alignments: bool = True,
-    early_exit: bool = False,
+    early_exit: bool = False, dp_shards: int = 1,
 ) -> Tuple[DecodeOutput, Dict[str, jnp.ndarray]]:
     """Core beam search over precomputed encoder outputs.
 
@@ -276,7 +292,7 @@ def beam_search_from_memory(
     heads = dcfg.attention.num_heads
     mem_len = memory.keys.shape[1]
     vocab = dcfg.softmax_size
-    _warn_if_memory_spills(memory, f"beam-{k} decode")
+    _warn_if_memory_spills(memory, f"beam-{k} decode", dp_shards)
 
     # Beams share their image's attention memory — it stays UNtiled and is
     # read once per image per step (attend_grouped); only the tiny decoder

@@ -83,6 +83,9 @@ def make_serve_fn(spec, config: Config, steps: int, mesh=None,
     preprocess = preprocess_for(config.cnn_name)
 
     early = bool(config.get("infer_early_exit"))
+    # traced shapes are GLOBAL under jit: the VMEM-spill fence needs the
+    # data-parallel shard count to judge the per-device footprint
+    dp = mesh.size if mesh is not None else 1
 
     def serve(params, images_u8):
         images = preprocess(images_u8, jax.random.PRNGKey(0), h, w,
@@ -91,11 +94,11 @@ def make_serve_fn(spec, config: Config, steps: int, mesh=None,
             top, _ = beam_search(params, spec, images, beam_size=beam,
                                  max_steps=steps, length_penalty=lpen,
                                  collect_alignments=collect_alignments,
-                                 early_exit=early)
+                                 early_exit=early, dp_shards=dp)
         else:
             top = greedy_or_sample(params, spec, images, max_steps=steps,
                                    collect_alignments=collect_alignments,
-                                   early_exit=early)
+                                   early_exit=early, dp_shards=dp)
         if not collect_alignments:
             return top.ids, None  # skip the zero placeholder entirely
         return top.ids, top.alignments

@@ -106,6 +106,10 @@ def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary,
     augment = bool(config.cnn_input_augment)
     preprocess = preprocess_for(config.cnn_name)
 
+    # traced shapes are GLOBAL under jit: the VMEM-spill fence needs the
+    # data-parallel shard count to judge the per-device footprint
+    dp = mesh.size if mesh is not None else 1
+
     def rollout(params, images_u8, key):
         images = preprocess(images_u8, key, h, w, augment)
         im_embed, fmaps = encode_images(
@@ -120,11 +124,11 @@ def make_rollout(spec: ModelSpec, config: Config, vocab: Vocabulary,
         # finish, so this costs ~nothing then and pays as they shorten.
         greedy = greedy_or_sample_from_memory(
             params["decoder"], spec, im_embed, memory, max_steps=steps,
-            collect_alignments=False, early_exit=True)
+            collect_alignments=False, early_exit=True, dp_shards=dp)
         _, all_beams = beam_search_from_memory(
             params["decoder"], spec, im_embed, memory, beam_size=beam,
             max_steps=steps, length_penalty=0.0, collect_alignments=False,
-            early_exit=True)
+            early_exit=True, dp_shards=dp)
         return greedy.ids, all_beams["ids"], im_embed, fmaps
 
     if mesh is not None:

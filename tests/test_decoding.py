@@ -330,3 +330,20 @@ class TestServingBatchFence:
         assert captured.out == ""
         err = captured.err
         assert "re-streams" in err and "batch <= 129" in err
+
+    def test_data_parallel_global_batch_judged_per_device(self, capsys):
+        # traced shapes are GLOBAL under jit: global batch 1024 over 8
+        # chips is 128/chip — the fast regime; must NOT warn
+        from comic_tpu.decoding.search import _warn_if_memory_spills
+        _warn_if_memory_spills(self._memory(1024), "beam-3 decode",
+                               dp_shards=8)
+        assert capsys.readouterr().err == ""
+
+    def test_data_parallel_spill_reports_per_device(self, capsys):
+        # 1088/8 = 136/chip — past the boundary even sharded
+        from comic_tpu.decoding.search import _warn_if_memory_spills
+        _warn_if_memory_spills(self._memory(1088), "beam-3 decode",
+                               dp_shards=8)
+        err = capsys.readouterr().err
+        assert "8-way data-parallel" in err
+        assert "batch <= 1032" in err  # 129/device * 8
