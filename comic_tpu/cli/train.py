@@ -232,8 +232,8 @@ def main(argv=None):
         apply_legacy_overrides(args)
 
     rand_seed = RUN_SEEDS.get(args.run, RUN_SEEDS[1])
-    if isinstance(args.scst_weight_bleu, str):
-        pass  # parsed in resolve_stage for the scst stage only
+    # scst_weight_bleu stays a string here; resolve_stage parses it for the
+    # scst stage only
     extra = resolve_stage(args)
     stage_fn = extra.pop("stage_fn")
 

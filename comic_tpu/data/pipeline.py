@@ -22,6 +22,7 @@ from __future__ import annotations
 import queue
 import random
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -35,7 +36,8 @@ PAD_ID = -1
 
 
 def bucket_boundaries(config: Config, vocab: Vocabulary,
-                      caption_len_thres: int = 20) -> List[int]:
+                      caption_len_thres: int = 20,
+                      max_encoded_len: Optional[int] = None) -> List[int]:
     """Sequence-length bucket upper bounds, plus a static overflow bucket.
 
     The first three bounds are the reference's bucket boundaries
@@ -45,17 +47,33 @@ def bucket_boundaries(config: Config, vocab: Vocabulary,
     wants static shapes, so each batch pads UP to its bucket bound, and the
     overflow bucket is capped at the longest possible caption
     (caption_len_thres words + GO/EOS).
+
+    ``max_encoded_len``: length of the longest encoded caption actually in
+    the dataset. The static heuristic caps are exact for word/radix at the
+    default prepro threshold, but a dataset prepped with a larger
+    --caption_len_thres, or char captions whose words average > 5 chars,
+    would silently be TRUNCATED by pad_rows (dropping <EOS>) — the
+    reference's bucket_by_sequence_length dynamic-pads and never truncates,
+    so the overflow bound is raised to cover the real data. Callers must
+    derive it from the GLOBAL (pre-host-sharding) records so every host
+    compiles identical bucket shapes.
     """
     pattern = config.dataset_file_pattern or ""
     is_insta = "insta" in pattern
     if config.token_type == "char":
         bounds = [29, 42, 61] if is_insta else [45, 55, 70]
-        return bounds + [caption_len_thres * 6 + 2]
-    words = [7, 10, 13] if is_insta else [11, 13, 15]
-    if config.token_type == "radix":
+        cap = caption_len_thres * 6 + 2
+    elif config.token_type == "radix":
         width = RadixCodec(len(vocab), config.radix_base).word_len
-        return [b * width for b in words] + [caption_len_thres * width + 2]
-    return words + [caption_len_thres + 2]
+        words = [7, 10, 13] if is_insta else [11, 13, 15]
+        bounds = [b * width for b in words]
+        cap = caption_len_thres * width + 2
+    else:
+        bounds = [7, 10, 13] if is_insta else [11, 13, 15]
+        cap = caption_len_thres + 2
+    if max_encoded_len is not None:
+        cap = max(cap, int(max_encoded_len))
+    return bounds + [cap]
 
 
 def pick_bucket(length: int, bounds: Sequence[int]) -> int:
@@ -96,6 +114,7 @@ class _ImageLoaderPool:
         self.mode = mode
         self.tf1_exact = tf1_exact
         self._rng = np.random.default_rng(seed)
+        self._pool: Optional[ThreadPoolExecutor] = None  # lazy, persistent
 
     def load(self, paths: Sequence[str]) -> np.ndarray:
         out = np.empty((len(paths), RESIZE_SIZE, RESIZE_SIZE, 3), np.uint8)
@@ -112,27 +131,15 @@ class _ImageLoaderPool:
         if len(paths) == 1:
             load_one(0)
             return out
-        threads = []
-        errors: List[BaseException] = []
-        chunk = max(1, len(paths) // self.num_workers)
-
-        def work(lo, hi):
-            # a raising worker must fail load(), not leave its slice of the
-            # np.empty batch as uninitialized garbage
-            try:
-                for i in range(lo, hi):
-                    load_one(i)
-            except BaseException as e:
-                errors.append(e)
-
-        for lo in range(0, len(paths), chunk):
-            t = threading.Thread(target=work, args=(lo, min(lo + chunk, len(paths))))
-            t.start()
-            threads.append(t)
-        for t in threads:
-            t.join()
-        if errors:
-            raise errors[0]
+        # persistent executor: per-batch thread spawn/teardown on the hot
+        # input path costs more than the decode on small batches, and the
+        # old ceil-division chunking could exceed num_workers threads
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        # a raising worker must fail load(), not leave its slice of the
+        # np.empty batch as uninitialized garbage — result() re-raises
+        for f in [self._pool.submit(load_one, i) for i in range(len(paths))]:
+            f.result()
         return out
 
 
@@ -187,15 +194,33 @@ class TrainPipeline:
         if records is None:
             records = cap_io.read_caption_file(cap_io.caption_file_path(
                 config.dataset_dir, config.dataset_file_pattern, split))
+
+        # Pre-encode captions once (cheap, avoids per-epoch
+        # re-tokenization) — over the GLOBAL records, BEFORE host sharding,
+        # so the data-derived overflow bucket bound (and therefore every
+        # compiled batch shape) is identical on every host.
+        encoded: List[np.ndarray] = [
+            encode_caption_tokens(toks, config.token_type, vocab,
+                                  config.radix_base)
+            for _, toks in records
+        ]
+        self.global_size = len(records)
+        max_len = max((len(r) for r in encoded), default=0)
+        self._n_proc = 1
         if shard_by_process and self.is_training:
             # multi-host: each host feeds its local devices a strided shard
             # of the training records (single-host: identity)
             import jax
 
             if jax.process_count() > 1:
-                records = records[jax.process_index()::jax.process_count()]
+                self._n_proc = jax.process_count()
+                pid = jax.process_index()
+                records = records[pid::self._n_proc]
+                encoded = encoded[pid::self._n_proc]
         self.records = records
-        self.bounds = bucket_boundaries(config, vocab)
+        self._encoded = encoded
+        self.bounds = bucket_boundaries(config, vocab,
+                                        max_encoded_len=max_len)
         self.batch_size = (config.batch_size_train if self.is_training
                            else config.batch_size_eval)
         self.loader = _ImageLoaderPool(
@@ -207,10 +232,17 @@ class TrainPipeline:
 
         if config.split_sizes is None:
             config.split_sizes = {}
-        config.split_sizes[split] = len(records)
+        # Global quantities, deterministic across hosts: per-host strided
+        # shards differ by one row when the split size does not divide the
+        # process count, and a max_step derived from the LOCAL shard would
+        # make one host exit the lockstep train loop one step before the
+        # others — deadlocking their final collective. split_sizes records
+        # the full split like the reference (manager_image_caption.py:55).
+        config.split_sizes[split] = self.global_size
         if self.is_training:
             config.max_step = int(
-                len(records) / self.batch_size * config.max_epoch)
+                self.global_size / (self.batch_size * self._n_proc)
+                * config.max_epoch)
         else:
             # eval split must tile exactly (manager:123,145; train_fn.py:326)
             if len(records) % self.batch_size != 0:
@@ -218,16 +250,11 @@ class TrainPipeline:
                     f"Eval batch size {self.batch_size} must divide eval "
                     f"split size {len(records)}")
 
-        # Pre-encode captions once (cheap, avoids per-epoch re-tokenization).
-        self._encoded: List[np.ndarray] = [
-            encode_caption_tokens(toks, config.token_type, vocab,
-                                  config.radix_base)
-            for _, toks in records
-        ]
-
     @property
     def steps_per_epoch(self) -> int:
-        return len(self.records) // self.batch_size
+        # global-count based so every host derives the same logging /
+        # checkpoint cadence (see the max_step note in __init__)
+        return self.global_size // (self.batch_size * self._n_proc)
 
     def _epoch_order(self) -> List[int]:
         order = list(range(len(self.records)))
@@ -268,6 +295,13 @@ class TrainPipeline:
 
     def epoch(self, prefetch_depth: int = 4
               ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """One pass over the split.
+
+        Eval splits get FULL coverage (leftover flush above). On a training
+        split this is a one-epoch SAMPLE: per-bucket leftovers (< batch_size
+        rows each) are dropped and bucket state resets — fine for tests and
+        probes, but the training loop must use ``iter(pipe)``, whose bucket
+        state persists across epochs (see __iter__)."""
         gen = (self._make_batch(idxs) for idxs in self._batches_of_indices())
         return _prefetch(gen, prefetch_depth)
 

@@ -26,6 +26,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_prefix", type=str, default="mscoco")
     p.add_argument("--word_count_thres", type=int, default=5)
     p.add_argument("--caption_len_thres", type=int, default=20)
+    # type=bool mirrors the reference's argparse quirk (coco_prepro.py:36):
+    # ANY non-empty value — including 'False'/'0' — is truthy; pass an
+    # empty string ('--include_restval=') to disable restval.
     p.add_argument("--include_restval", type=bool, default=True)
     return p
 

@@ -50,7 +50,15 @@ def ids_to_captions(
         eos = vocab.eos_id
         joiner = " " if token_type == "word" else ""
         for row in ids:
-            toks = [vocab.word(w) for w in row.tolist() if w >= 0 and w != eos]
+            # Same drop-invalid guard as the radix branch: the softmax is
+            # sized len(itow) (models/captioner.py) while the max mapped id
+            # is len(itow)-2 for word (PAD occupies -1), and char has the
+            # documented gap id between 'z' and <GO> — an untrained/early
+            # checkpoint can emit either. The reference's
+            # `config.itow[str(w)]` (infer_fn.py:70) would KeyError there;
+            # we drop the id instead of crashing the sweep/SCST step.
+            toks = [vocab.itow[w] for w in row.tolist()
+                    if w >= 0 and w != eos and w in vocab.itow]
             captions.append(joiner.join(toks))
     else:
         raise ValueError(f"Unknown token_type: {token_type}")
@@ -100,7 +108,15 @@ def caption_strings_to_batched_ids(
     rows: List[np.ndarray] = []
     for cap in captions:
         if token_type == "char":
-            ids = [vocab.wtoi[ch] for ch in cap]
+            # Unknown characters are DROPPED (documented divergence: the
+            # reference's `c.wtoi[ch]` at manager_image_caption.py:496
+            # KeyErrors when a sampled hypothesis leaks a special-token
+            # string — e.g. a mid-sequence <GO> id rendered literally by
+            # id_to_caption — since '<'/'>' are not in the char vocab;
+            # the word path survives the same situation via the <UNK>
+            # fallback, so we give char an equivalent guard instead of
+            # crashing the SCST train step).
+            ids = [vocab.wtoi[ch] for ch in cap if ch in vocab.wtoi]
             row = np.asarray([vocab.go_id] + ids + [vocab.eos_id], dtype=np.int32)
         else:
             toks = [GO] + cap.split() + [EOS]

@@ -98,6 +98,38 @@ class TestBuckets:
         c = Config(token_type="char", dataset_file_pattern="mscoco_{}")
         assert bucket_boundaries(c, v)[:3] == [45, 55, 70]
 
+    def test_overflow_bound_raised_to_real_data(self):
+        # the static overflow cap underestimates e.g. char captions whose
+        # words average > 5 chars, or datasets prepped with a larger
+        # --caption_len_thres; pad_rows would then TRUNCATE (dropping
+        # <EOS>) where the reference's dynamic padding never does — the
+        # bound must stretch to the longest encoded caption
+        v = Vocabulary({"<PAD>": -1, "<UNK>": 0, "<GO>": 1, "<EOS>": 2})
+        c = Config(token_type="char", dataset_file_pattern="mscoco_{}")
+        assert bucket_boundaries(c, v, max_encoded_len=161)[-1] == 161
+        # ...and is left alone when the data fits the static cap
+        assert bucket_boundaries(c, v, max_encoded_len=60)[-1] == 122
+
+    def test_long_captions_never_truncated(self, synth):
+        # pipeline-level: a caption longer than the static overflow cap
+        # keeps its <EOS> (bound derived from the data, not the heuristic)
+        root, vocab = synth
+        import comic_tpu.data.captions as cap_io
+        c = Config(token_type="radix", radix_base=16, dataset_dir=root,
+                   dataset_file_pattern="synth_{}", batch_size_train=4,
+                   batch_size_eval=4, max_epoch=2)
+        records = cap_io.read_caption_file(cap_io.caption_file_path(
+            root, "synth_{}", "train"))
+        # graft one extra-long caption, well past the s20-derived cap
+        fname, toks = records[0]
+        records[0] = (fname, [toks[0]] + toks[1:-1] * 12 + [toks[-1]])
+        pipe = TrainPipeline(c, vocab, "train", records=records, seed=0)
+        enc = pipe._encoded[0]
+        assert pipe.bounds[-1] >= len(enc)
+        _, caps = pipe._make_batch([0, 1, 2, 3])
+        np.testing.assert_array_equal(caps[0][: len(enc)], enc)
+        assert (caps[0][len(enc):] == -1).all()
+
     def test_pick_and_pad(self):
         bounds = [4, 8]
         assert pick_bucket(3, bounds) == 0

@@ -182,6 +182,24 @@ class TestIdsToCaptions:
                                radix_base=4)
         assert caps == ["cat"]
 
+    def test_word_phantom_softmax_id_dropped_not_crash(self):
+        # softmax_size = len(itow) (models/captioner.py) while the max
+        # mapped id is len(itow)-2 (PAD sits at -1): an untrained model can
+        # emit len(itow)-1. Reference `config.itow[str(w)]`
+        # (infer_fn.py:70) KeyErrors there; we drop it (documented
+        # divergence, tokenization/text.py).
+        v = _word_vocab()  # ids -1..5; softmax emits 0..6
+        caps = ids_to_captions(np.array([[0, 6, 1]]), "word", v)
+        assert caps == ["a cat"]
+
+    def test_char_gap_id_dropped_not_crash(self):
+        # the char vocab's documented gap id between 'z' and <GO>
+        v = build_char_vocab()
+        gap = v.go_id - 1
+        assert gap not in v.itow
+        ids = np.array([[v.wtoi["c"], gap, v.wtoi["a"], v.wtoi["t"]]])
+        assert ids_to_captions(ids, "char", v) == ["cat"]
+
 
 class TestScstBatchedIds:
     def test_word_padding(self):
@@ -200,3 +218,13 @@ class TestScstBatchedIds:
         v = _word_vocab()
         out = caption_strings_to_batched_ids(["a"], "radix", v, radix_base=4)
         np.testing.assert_array_equal(out, [[4, 0, 0, 5]])
+
+    def test_char_unknown_chars_dropped_not_crash(self):
+        # a sampled char hypothesis can leak a literal special-token string
+        # ('a<GO>t' from a mid-sequence GO id); the reference KeyErrors on
+        # '<' (manager_image_caption.py:496) — we drop unknown chars
+        # (documented divergence, tokenization/text.py)
+        v = build_char_vocab()
+        out = caption_strings_to_batched_ids(["a<>t"], "char", v)
+        np.testing.assert_array_equal(
+            out, [[v.go_id, v.wtoi["a"], v.wtoi["t"], v.eos_id]])
