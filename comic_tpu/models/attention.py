@@ -88,8 +88,12 @@ def attention_init(key, cfg: AttentionConfig, init=xavier_uniform) -> Params:
         p["v"] = init(ks[2], (cfg.num_units,))
         if cfg.alignment == "add_LN":
             p["ln"] = layer_norm_init(cfg.num_units)
-        if cfg.scale:
-            p["softmax_temperature"] = jnp.float32(5.0)
+            # learned temperature belongs to MultiHeadAddLN ONLY
+            # (ops_rnn.py:554-563); MultiHeadAdd (ops_rnn.py:568-600) has
+            # no scaling — creating one here would also break param-tree
+            # parity for checkpoint conversion of 'add' models
+            if cfg.scale:
+                p["softmax_temperature"] = jnp.float32(5.0)
     if cfg.fm_projection == "independent":
         p["value_layer"] = dense_init(ks[3], cfg.memory_channels, cfg.num_units,
                                       use_bias=False, init=init)
@@ -231,7 +235,7 @@ def attend(p: Params, cfg: AttentionConfig, query: jnp.ndarray,
         score = score * p["v"].astype(score.dtype)
         score = jnp.sum(split_heads(score, cfg.num_heads), axis=3,
                         dtype=jnp.float32)  # (B, H, L)
-        if cfg.scale:
+        if cfg.scale and cfg.alignment == "add_LN":
             score = score / p["softmax_temperature"]
     elif cfg.alignment == "dot":
         score = memory.keys * proj_q
@@ -261,7 +265,13 @@ def attend(p: Params, cfg: AttentionConfig, query: jnp.ndarray,
     context = context.reshape(context.shape[0], -1)
     if cfg.context_layer:
         context = dense_apply(p["a_layer"], context, dtype=dtype)
-    return context.astype(jnp.float32), alignments
+    # Return the DROPPED alignments: the reference applies attention-map
+    # dropout before BOTH the context matmul and the alignment_history
+    # write (ops_rnn.py:696-745), and the history is what feeds the
+    # doubly-stochastic map loss (model_base.py:355-365) — recording the
+    # clean maps would regularize a different quantity than the reference.
+    # Inference passes no dropout key, so the two are identical there.
+    return context.astype(jnp.float32), attn_for_context
 
 
 def attend_grouped(p: Params, cfg: AttentionConfig, query: jnp.ndarray,
@@ -299,7 +309,7 @@ def attend_grouped(p: Params, cfg: AttentionConfig, query: jnp.ndarray,
             score.reshape(b, k, l, cfg.num_heads, u // cfg.num_heads),
             axis=4, dtype=jnp.float32)  # (B, K, L, H)
         score = jnp.transpose(score, (0, 1, 3, 2))  # (B, K, H, L)
-        if cfg.scale:
+        if cfg.scale and cfg.alignment == "add_LN":
             score = score / p["softmax_temperature"]
     elif cfg.alignment == "dot":
         score = keys * proj_q[:, :, None, :]

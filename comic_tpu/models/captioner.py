@@ -164,9 +164,10 @@ def attention_map_loss(alignments: jnp.ndarray, scale: float,
     are (B, T, H, L), so we sum over axis 2.
 
     `valid_steps` (traced scalar) restricts the mean to the first N decode
-    steps: the scan-of-K trainer pads captions beyond their bucket bound,
-    and the extra steps must not change this loss vs the single-step
-    dispatch of the same bucket.
+    steps. The trainers pass the BATCH-MAX caption length: the reference's
+    dynamic_decode stops there, so its map loss never sees the pad steps
+    our static pad-to-bucket scan adds (and the scan-of-K trainer pads
+    further, to the widest bucket in its stack).
     """
     if scale <= 0:
         return jnp.float32(0.0)

@@ -158,6 +158,7 @@ def step(p: Params, cfg: DecoderConfig, word_vec: jnp.ndarray,
          rngs: StepRNGs = StepRNGs(), training: bool = False,
          dtype=None,
          recurrent_noise: Optional[jnp.ndarray] = None,
+         recurrent_out_noise: Optional[jnp.ndarray] = None,
          ) -> Tuple[jnp.ndarray, jnp.ndarray, DecoderState]:
     """One decode step (the innermost hot path, SURVEY.md §3.4).
 
@@ -175,7 +176,8 @@ def step(p: Params, cfg: DecoderConfig, word_vec: jnp.ndarray,
     h, cell_state = cell.step(p["cell"], x, state.cell_state, dtype=dtype)
     if training:
         h_dropped = apply_dropout(rngs.dropout_out, h, 1.0 - cfg.dropout_out,
-                                  deterministic=False)
+                                  deterministic=False,
+                                  noise=recurrent_out_noise)
     else:
         h_dropped = h
     context, alignments = attend(
@@ -229,21 +231,30 @@ def teacher_forced(p: Params, cfg: DecoderConfig, inputs: jnp.ndarray,
     t_steps = inputs.shape[1]
     use_dropout = training and rng is not None
     recurrent_noise = None
+    recurrent_out_noise = None
     if use_dropout:
-        if cfg.recurrent_dropout and cfg.dropout_in > 0:
-            # variational recurrent dropout: ONE input mask reused at every
-            # time step (tf DropoutWrapper(variational_recurrent=True),
-            # model_base.py:641-647)
-            rng, k_noise = jax.random.split(rng)
-            keep = 1.0 - cfg.dropout_in
-            mask = jax.random.bernoulli(
-                k_noise, keep, (inputs.shape[0], cfg.rnn_input_size))
-            recurrent_noise = jnp.where(mask, 1.0 / keep, 0.0)
+        if cfg.recurrent_dropout:
+            # variational recurrent dropout: ONE mask per sequence reused
+            # at every time step, for the INPUT and the OUTPUT dropout
+            # alike — tf DropoutWrapper(variational_recurrent=True)
+            # samples _recurrent_input_noise AND _recurrent_output_noise
+            # once (model_base.py:636-648)
+            rng, k_in, k_out = jax.random.split(rng, 3)
+            if cfg.dropout_in > 0:
+                keep = 1.0 - cfg.dropout_in
+                mask = jax.random.bernoulli(
+                    k_in, keep, (inputs.shape[0], cfg.rnn_input_size))
+                recurrent_noise = jnp.where(mask, 1.0 / keep, 0.0)
+            if cfg.dropout_out > 0:
+                keep = 1.0 - cfg.dropout_out
+                mask = jax.random.bernoulli(
+                    k_out, keep, (inputs.shape[0], cfg.rnn_size))
+                recurrent_out_noise = jnp.where(mask, 1.0 / keep, 0.0)
         xs = (word_vecs_t, jax.random.split(rng, t_steps))
     else:
         xs = (word_vecs_t, jnp.zeros((t_steps,), jnp.int32))
 
-    def body_fn(p, recurrent_noise, state, xs):
+    def body_fn(p, recurrent_noise, recurrent_out_noise, state, xs):
         wv, key = xs
         if use_dropout:
             k1, k2, k3 = jax.random.split(key, 3)
@@ -252,7 +263,8 @@ def teacher_forced(p: Params, cfg: DecoderConfig, inputs: jnp.ndarray,
             rngs = StepRNGs()
         logits, align, new_state = step(
             p, cfg, wv, state, memory, rngs=rngs, training=use_dropout,
-            dtype=dtype, recurrent_noise=recurrent_noise)
+            dtype=dtype, recurrent_noise=recurrent_noise,
+            recurrent_out_noise=recurrent_out_noise)
         return new_state, (logits, align)
 
     if training:
@@ -267,7 +279,7 @@ def teacher_forced(p: Params, cfg: DecoderConfig, inputs: jnp.ndarray,
         body_fn = jax.checkpoint(body_fn, policy=REMAT_POLICY)
 
     def body(state, xs):
-        return body_fn(p, recurrent_noise, state, xs)
+        return body_fn(p, recurrent_noise, recurrent_out_noise, state, xs)
 
     _, (logits_t, align_t) = jax.lax.scan(body, state0, xs)
     logits = jnp.swapaxes(logits_t, 0, 1)  # (B, T, S)

@@ -32,6 +32,8 @@ from typing import Any, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import layers
+
 Params = Dict[str, Any]
 
 BN_EPS = 0.001
@@ -40,9 +42,8 @@ FEATURE_DIM = 1536
 
 
 def _truncated_normal_scaled(key, shape, dtype=jnp.float32):
-    fan_in = shape[0] * shape[1] * shape[2]
-    stddev = jnp.sqrt(2.0 / fan_in) / 0.87962566103423978
-    return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    return layers.slim_variance_scaling(
+        key, shape, shape[0] * shape[1] * shape[2], dtype)
 
 
 def _conv_bn_init(key, kh, kw, cin, cout) -> Params:
@@ -94,12 +95,7 @@ def _max_pool(x, k, stride, padding="SAME"):
 
 
 def _avg_pool_same(x, k):
-    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add,
-                                   (1, k, k, 1), (1, 1, 1, 1), "SAME")
-    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
-    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add,
-                                   (1, k, k, 1), (1, 1, 1, 1), "SAME")
-    return summed / counts
+    return layers.avg_pool_same(x, k, 1, "SAME")
 
 
 # residual block tables: (branch name, [(conv name, kh, kw, cout), ...])

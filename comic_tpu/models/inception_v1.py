@@ -30,6 +30,8 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import layers
+
 Params = Dict[str, Any]
 
 # (name, kind, spec)
@@ -71,9 +73,8 @@ BN_EPS = 0.001
 def _truncated_normal_scaled(key, shape, dtype=jnp.float32):
     """slim.variance_scaling_initializer default: factor=2.0, mode=FAN_IN,
     truncated normal (inception_utils.py:79)."""
-    fan_in = shape[0] * shape[1] * shape[2]
-    stddev = jnp.sqrt(2.0 / fan_in) / 0.87962566103423978
-    return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    return layers.slim_variance_scaling(
+        key, shape, shape[0] * shape[1] * shape[2], dtype)
 
 
 def _conv_bn_init(key, k: int, cin: int, cout: int) -> Params:

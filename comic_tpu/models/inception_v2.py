@@ -18,6 +18,7 @@ from typing import Any, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import layers
 from .inception_v1 import BN_EPS, _conv_bn_init, _max_pool
 
 Params = Dict[str, Any]
@@ -58,20 +59,13 @@ def _conv_bn_relu(p, x, stride, dtype=None, k=None):
 
 
 def _avg_pool(x, k, stride, padding="SAME"):
-    summed = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, k, k, 1), (1, stride, stride, 1), padding)
-    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
-    counts = jax.lax.reduce_window(
-        ones, 0.0, jax.lax.add, (1, k, k, 1), (1, stride, stride, 1), padding)
-    return summed / counts
+    return layers.avg_pool_same(x, k, stride, padding)
 
 
 def _ck(key, kh, kw, cin, cout):
     p = _conv_bn_init(key, 1, cin, cout)
-    fan_in = kh * kw * cin
-    stddev = jnp.sqrt(2.0 / fan_in) / 0.87962566103423978
-    p["weights"] = stddev * jax.random.truncated_normal(
-        key, -2.0, 2.0, (kh, kw, cin, cout), jnp.float32)
+    p["weights"] = layers.slim_variance_scaling(
+        key, (kh, kw, cin, cout), kh * kw * cin)
     return p
 
 

@@ -18,6 +18,7 @@ from typing import Any, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import layers
 from .inception_v1 import BN_EPS, _conv_bn_init
 
 Params = Dict[str, Any]
@@ -147,20 +148,13 @@ def _pool(x, k, stride, padding, kind):
         return jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, k, k, 1),
             (1, stride, stride, 1), padding)
-    summed = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, k, k, 1), (1, stride, stride, 1), padding)
-    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
-    counts = jax.lax.reduce_window(
-        ones, 0.0, jax.lax.add, (1, k, k, 1), (1, stride, stride, 1), padding)
-    return summed / counts
+    return layers.avg_pool_same(x, k, stride, padding)
 
 
 def _conv_init_hw(key, kh, kw, cin, cout):
     p = _conv_bn_init(key, 1, cin, cout)
-    fan_in = kh * kw * cin
-    stddev = jnp.sqrt(2.0 / fan_in) / 0.87962566103423978
-    p["weights"] = stddev * jax.random.truncated_normal(
-        key, -2.0, 2.0, (kh, kw, cin, cout), jnp.float32)
+    p["weights"] = layers.slim_variance_scaling(
+        key, (kh, kw, cin, cout), kh * kw * cin)
     return p
 
 

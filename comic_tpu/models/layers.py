@@ -33,6 +33,36 @@ def he_uniform(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -limit, limit)
 
 
+# stddev correction of a normal truncated at +/-2 sigma — the exact
+# constant tf's variance_scaling_initializer divides by
+_TRUNC_CORRECTION = 0.87962566103423978
+
+
+def slim_variance_scaling(key, shape, fan: int, dtype=jnp.float32):
+    """slim.variance_scaling_initializer(factor=2.0, truncated normal):
+    stddev = sqrt(2/fan) / 0.8796... (slim initializers; e.g. the
+    inception arg scope, slim/nets/inception_utils.py:79). ``fan`` is
+    fan_in under the inception/resnet/mobilenet scopes and fan_out under
+    nasnet's. Shared by every encoder so the bit-exactness-critical
+    constant lives in exactly one place."""
+    std = jnp.sqrt(2.0 / max(fan, 1)) / _TRUNC_CORRECTION
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def avg_pool_same(x, k: int, stride: int = 1, padding: str = "SAME"):
+    """tf.nn.avg_pool semantics: edge windows divide by the number of
+    IN-BOUNDS elements (count normalization), unlike a plain mean over
+    the padded window. Shared by the inception_v2/v3, inception_resnet_v2
+    and nasnet encoders."""
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, k, 1), (1, stride, stride, 1), padding)
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    counts = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, k, k, 1), (1, stride, stride, 1),
+        padding)
+    return summed / counts
+
+
 def _fans(shape):
     if len(shape) == 1:
         return shape[0], shape[0]

@@ -19,6 +19,8 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import layers
+
 Params = Dict[str, Any]
 
 BN_EPS = 0.001
@@ -41,10 +43,8 @@ def _bn_params(cout):
 
 
 def _conv_init(key, shape):
-    fan_in = shape[0] * shape[1] * shape[2]
-    stddev = jnp.sqrt(2.0 / max(fan_in, 1)) / 0.87962566103423978
-    return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape,
-                                                jnp.float32)
+    return layers.slim_variance_scaling(
+        key, shape, shape[0] * shape[1] * shape[2])
 
 
 def init_params(key, depth_multiplier: float = 1.0) -> Params:

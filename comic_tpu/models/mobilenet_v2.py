@@ -17,6 +17,8 @@ from typing import Any, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import layers
+
 Params = Dict[str, Any]
 
 BN_EPS = 0.001
@@ -36,10 +38,8 @@ def _bn(c):
 
 
 def _w(key, shape):
-    fan_in = shape[0] * shape[1] * shape[2]
-    stddev = jnp.sqrt(2.0 / max(fan_in, 1)) / 0.87962566103423978
-    return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape,
-                                                jnp.float32)
+    return layers.slim_variance_scaling(
+        key, shape, shape[0] * shape[1] * shape[2])
 
 
 def _block_names() -> List[str]:

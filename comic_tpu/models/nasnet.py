@@ -45,6 +45,8 @@ from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import layers
+
 Params = Dict[str, Any]
 
 BN_EPS = 1e-3
@@ -144,10 +146,9 @@ def _materialize(key, specs) -> Params:
     for i, (path, shape, kind) in enumerate(specs):
         if kind == "conv":
             # variance_scaling FAN_OUT truncated normal (arg scopes)
-            fan_out = shape[0] * shape[1] * shape[3]
-            std = jnp.sqrt(2.0 / max(fan_out, 1)) / 0.87962566103423978
-            arr = std * jax.random.truncated_normal(
-                jax.random.fold_in(key, i), -2.0, 2.0, shape, jnp.float32)
+            arr = layers.slim_variance_scaling(
+                jax.random.fold_in(key, i), shape,
+                shape[0] * shape[1] * shape[3])
         elif kind in ("ones",):
             arr = jnp.ones(shape, jnp.float32)
         else:  # zeros
@@ -204,12 +205,7 @@ def _max_pool(x, k, stride, padding="SAME"):
 
 
 def _avg_pool(x, k, stride, padding="SAME"):
-    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, k, k, 1),
-                                   (1, stride, stride, 1), padding)
-    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
-    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, (1, k, k, 1),
-                                   (1, stride, stride, 1), padding)
-    return summed / counts
+    return layers.avg_pool_same(x, k, stride, padding)
 
 
 def _stacked_separable(store, x, op, filters, stride, dtype):

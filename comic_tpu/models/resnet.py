@@ -31,6 +31,8 @@ from typing import Any, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import layers
+
 Params = Dict[str, Any]
 
 BN_EPS = 1e-5
@@ -47,11 +49,9 @@ FEATURE_DIM = 2048
 
 
 def _conv_init(key, k, cin, cout):
-    fan_in = k * k * cin
-    stddev = jnp.sqrt(2.0 / fan_in) / 0.87962566103423978
     return {
-        "weights": stddev * jax.random.truncated_normal(
-            key, -2.0, 2.0, (k, k, cin, cout), jnp.float32),
+        "weights": layers.slim_variance_scaling(
+            key, (k, k, cin, cout), k * k * cin),
         "BatchNorm": {
             "beta": jnp.zeros((cout,), jnp.float32),
             "gamma": jnp.ones((cout,), jnp.float32),

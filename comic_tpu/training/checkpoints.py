@@ -411,7 +411,9 @@ def restore_model(params: Params, checkpoint_path: Optional[str], *,
                  if f.endswith(_SUFFIX) or f.endswith(_TF_SUFFIX)]
         if not cands:
             raise FileNotFoundError(f"No checkpoint under {path}")
-        path = os.path.join(path, sorted(cands)[-1])
+        # natural order, matching list_checkpoints: a lexicographic sort
+        # would pick model_compact-9 over model_compact-10
+        path = os.path.join(path, sorted(cands, key=natural_key)[-1])
     if path.endswith(_TF_SUFFIX):
         path = path[: -len(_TF_SUFFIX)]
     if os.path.exists(path + _TF_SUFFIX):

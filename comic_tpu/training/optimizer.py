@@ -107,6 +107,65 @@ def _scale_subtree(multiplier: float, mask: Params) -> optax.GradientTransformat
     return optax.GradientTransformation(init, update)
 
 
+def scale_by_tf1_adam(b1: float = 0.9, b2: float = 0.999,
+                      eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adam with tf.train.AdamOptimizer semantics (model_base.py:858-867).
+
+    TF1 applies ``param -= lr * sqrt(1-b2^t)/(1-b1^t) * m / (sqrt(v)+eps)``
+    — epsilon is added to the sqrt of the RAW second moment, with the bias
+    corrections folded into the step size. optax.adam instead adds eps to
+    the bias-CORRECTED sqrt(v_hat), i.e. an effective epsilon of
+    eps*sqrt(1-b2^t): ~32x smaller at step 1, ~3x at step 100. The
+    reference deliberately trains in the epsilon-dominated regime
+    (adam_epsilon=1e-2, README 'Changed training scheme ... ADAM
+    epsilon'), so the distinction materially changes early-training
+    step sizes; this transform reproduces TF1 exactly.
+    """
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g),
+            state.nu, updates)
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        step_scale = jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c)
+        out = jax.tree_util.tree_map(
+            lambda m, v: step_scale * m / (jnp.sqrt(v) + eps), mu, nu)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _clip_by_norm_per_leaf(max_norm: float) -> optax.GradientTransformation:
+    """slim create_train_op clip semantics: tf.clip_by_norm on EACH
+    gradient independently (clip_gradient_norms), NOT a global-norm clip
+    (model_base.py:397-401 -> slim.learning.create_train_op)."""
+
+    def init(_):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def clip(g):
+            n = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-20))
+            return (g * scale).astype(g.dtype)
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     params: Params,
     learning_rate: Callable,
@@ -121,7 +180,7 @@ def build_optimizer(
 ) -> tuple[optax.GradientTransformation, Params]:
     """-> (optax transformation, trainable mask).
 
-    Chain: [zero frozen grads] -> [cnn multiplier] -> [global-norm clip] ->
+    Chain: [zero frozen grads] -> [cnn multiplier] -> [per-grad clip] ->
     adam/sgd with the LR schedule. Mirrors create_train_op's ordering
     (clip then apply; multipliers applied to raw grads).
     """
@@ -134,10 +193,11 @@ def build_optimizer(
         cmask = scope_mask(params, cnn_scope)
         chain.append(_scale_subtree(cnn_grad_multiplier, cmask))
     if clip_gradient_norm and clip_gradient_norm > 0:
-        chain.append(optax.clip_by_global_norm(clip_gradient_norm))
+        chain.append(_clip_by_norm_per_leaf(clip_gradient_norm))
     if optimiser == "adam":
-        inner = optax.adam(learning_rate, b1=beta1, b2=0.999,
-                           eps=adam_epsilon)
+        inner = optax.chain(
+            scale_by_tf1_adam(b1=beta1, b2=0.999, eps=adam_epsilon),
+            optax.scale_by_learning_rate(learning_rate))
     elif optimiser == "sgd":
         inner = optax.sgd(learning_rate, momentum=0.9)
     else:

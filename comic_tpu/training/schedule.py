@@ -27,11 +27,15 @@ def cosine_schedule(lr_start: float, lr_end: float, max_step: int
 
 
 def legacy_halving_schedule(lr_start: float, steps_per_epoch: int,
-                            reduce_every_n_epochs: int
+                            reduce_every_n_epochs: int,
+                            lr_end: float = 0.0
                             ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     def fn(step):
         epoch = step // max(steps_per_epoch, 1)
         n_halvings = epoch // max(reduce_every_n_epochs, 1)
-        return lr_start * jnp.power(0.5, n_halvings.astype(jnp.float32))
+        lr = lr_start * jnp.power(0.5, n_halvings.astype(jnp.float32))
+        # _lr_reduce_check clamps at lr_end (train_fn.py:310-317): the
+        # reference stops halving once the LR reaches the floor
+        return jnp.maximum(lr, lr_end)
 
     return fn

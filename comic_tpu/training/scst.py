@@ -178,7 +178,11 @@ def make_scst_train_step(spec: ModelSpec, config: Config, optimizer, mask,
         per_example = sequence_loss(logits, targets, m,
                                     average_across_batch=False)
         xe = jnp.mean(per_example * rewards)
-        map_loss = attention_map_loss(alignments, map_scale)
+        # batch-max decode span, like the reference's dynamic_decode (see
+        # the identical masking in xe.py loss_fn)
+        map_loss = attention_map_loss(alignments, map_scale,
+                                      valid_steps=jnp.max(jnp.sum(m,
+                                                                  axis=1)))
         reg = masked_l2_loss(params, mask, l2_decay)
         total = xe + map_loss + reg
         return total, {"scst_loss": xe, "map_loss": map_loss, "reg": reg}
@@ -302,11 +306,20 @@ def train_fn_scst(config: Config, *,
     metrics: Dict[str, float] = {}
     t_last, n_since = time.time(), 0
     while step < max_step:
-        images, refs = next(data_iter)
         rng, k_roll, k_train = jax.random.split(rng, 3)
-        # raw numpy in: jit shards + transfers per its in_shardings
-        out = rollout(state.params, images, k_roll)
-        _start_ids_fetch(out)
+        # overlapped mode finishes the PREVIOUS rollout each iteration, so
+        # once the pending one will land on the final step there is
+        # nothing left to dispatch — rolling out unconditionally would
+        # train max_step+1 steps (one past the reference's schedule) and
+        # waste a rollout
+        need_rollout = (not overlap
+                        or step + (1 if pending is not None else 0)
+                        < max_step)
+        if need_rollout:
+            images, refs = next(data_iter)
+            # raw numpy in: jit shards + transfers per its in_shardings
+            out = rollout(state.params, images, k_roll)
+            _start_ids_fetch(out)
         if not overlap:
             # strict on-policy: score + train on THIS batch before the
             # next rollout (reference schedule, no staleness, no overlap)
@@ -320,7 +333,7 @@ def train_fn_scst(config: Config, *,
                     pending, state, train_step, scorer, config, vocab,
                     width, k_train, step, mesh=mesh)
                 n_since += config.batch_size_train
-            pending = (out, refs)
+            pending = (out, refs) if need_rollout else None
 
         if step > 0 and step % 25 == 0 and metrics:
             # one async fetch batch for all device scalars, then the

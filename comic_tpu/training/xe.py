@@ -29,6 +29,7 @@ from ..models.captioner import (
     attention_map_loss,
     build_model_spec,
     init_params,
+    process_captions,
     xe_forward,
 )
 from ..models.layers import count_params
@@ -68,10 +69,18 @@ def _make_train_step_body(spec: ModelSpec, config: Config, optimizer, mask,
         images = preprocess(images_u8, k_aug, h, w, augment)
         log_ppl, aux = xe_forward(params, spec, images, captions,
                                   rng=k_drop, training=True)
-        # valid_steps: scan-of-K pads captions past their bucket bound;
-        # the map loss must only see the bucket's own decode steps
+        # The reference's dynamic_decode stops at the BATCH-MAX caption
+        # length, so its map loss (model_base.py:355-365) never sees the
+        # bucket-bound pad steps our static scan adds — mask them out.
+        # scan-of-K additionally passes the sub-batch stack width; the
+        # batch max is <= any such width, so min() keeps the fused path
+        # bit-equal to the single dispatch.
+        _, _, m = process_captions(captions)
+        dyn_steps = jnp.max(jnp.sum(m, axis=1))
+        if valid_steps is not None:
+            dyn_steps = jnp.minimum(dyn_steps, valid_steps)
         map_loss = attention_map_loss(aux["alignments"], map_scale,
-                                      valid_steps=valid_steps)
+                                      valid_steps=dyn_steps)
         reg = masked_l2_loss(params, mask, l2_decay)
         total = log_ppl + map_loss + reg
         return total, {"log_ppl": log_ppl, "map_loss": map_loss, "reg": reg}
@@ -286,7 +295,7 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
     if config.legacy:
         schedule = legacy_halving_schedule(
             config.lr_start, steps_per_epoch,
-            config.lr_reduce_every_n_epochs)
+            config.lr_reduce_every_n_epochs, lr_end=config.lr_end)
     else:
         schedule = cosine_schedule(config.lr_start, config.lr_end, max_step)
     optimizer, mask = build_optimizer(

@@ -62,6 +62,12 @@ class TestOverfitGate:
             batch_size_eval=4, max_epoch=10_000, rnn_size=64,
             rnn_word_size=32, attn_num_heads=2, compute_dtype="float32",
             cnn_input_size=(64, 64), lr_start=3e-3, lr_end=1e-4,
+            # sane epsilon for a 1000-step memorization run: the default
+            # 1e-2 reproduces tf.train.AdamOptimizer's eps-dominated
+            # regime (optimizer.scale_by_tf1_adam), where effective steps
+            # are ~eps-limited and convergence needs many epochs like the
+            # reference's real runs — too slow for this gate
+            adam_epsilon=1e-6,
             dropout_rnn_in=0.0, dropout_rnn_out=0.0, attn_keep_prob=1.0,
             log_path=log_path, num_logs_per_epoch=1, rand_seed=0,
             # single-device: batch 5 over the virtual 5-device mesh pays
