@@ -189,8 +189,13 @@ class Config:
         pkl = os.path.join(log_path, "config.pkl")
         d = self.to_dict()
         d["_comic_tpu_config_version"] = CONFIG_VERSION
-        with open(pkl, "wb") as f:
+        # atomic: a crash mid-dump must not leave a truncated config.pkl —
+        # it is the experiment record inference reloads, and
+        # overwrite_safety_check would then refuse to re-run the job
+        tmp = pkl + ".tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(d, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, pkl)
         return pkl
 
     def overwrite_safety_check(self, overwrite: bool) -> None:

@@ -98,7 +98,8 @@ class DecodeOutput(NamedTuple):
     ids: jnp.ndarray  # (B, T) generated token ids (PAD/EOS after finish)
     scores: jnp.ndarray  # (B,) sum log prob (greedy/sample) or beam score
     alignments: jnp.ndarray  # (B, H, T, L) attention maps, reference layout
-    lengths: jnp.ndarray  # (B,) steps before EOS
+    lengths: jnp.ndarray  # (B,) decode steps INCLUDING the EOS-emitting
+    # one (contrib semantics; beam length-penalty re-scoring relies on it)
 
 
 def _prepare_memory(params: Params, spec: ModelSpec, images: jnp.ndarray

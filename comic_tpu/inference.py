@@ -41,11 +41,19 @@ pjoin = os.path.join
 
 
 def image_id_from_path(filepath: str):
-    """COCO numeric id when the filename carries one, else the stem
-    (insta-style string ids)."""
+    """Reference id rules (infer_fn.py:140-148): a path containing '@'
+    (insta) keeps its STRING basename; otherwise the FIRST '_'-prefixed
+    digit run in the name is the int COCO id (P_COCO = (?<=_)\\d+,
+    findall()[0] — first match, not the trailing number). Documented
+    divergences: we search the basename rather than the whole relative
+    path (a dataset dir like 'run_01/' must not become the id), and a
+    name with neither '@' nor digits yields the string stem instead of
+    the reference's ValueError (forgiving for ad-hoc inference dirs)."""
     stem = os.path.splitext(os.path.basename(filepath))[0]
-    m = re.search(r"_(\d+)$", stem)
-    return int(m.group(1)) if m else stem
+    if "@" in stem:
+        return stem
+    m = re.search(r"(?<=_)\d+", stem)
+    return int(m.group(0)) if m else stem
 
 
 def infer_dir_name(config: Config) -> str:
@@ -157,6 +165,12 @@ def run_inference(config: Config, ckpt_path: str,
             all_ids.append(image_id_from_path(f))
             all_caps.append(c)
         if save_attention:
+            if attn is None:
+                raise ValueError(
+                    "save_attention=True but the serve fn returned no "
+                    "alignment maps — it was built with "
+                    "collect_alignments=False; rebuild via "
+                    "make_serve_fn(..., collect_alignments=True).")
             limit = config.get("infer_attention_max_images")
             limit = 4 if limit is None else int(limit)  # 0 = maps for none
             maps = None
@@ -183,6 +197,13 @@ def run_inference(config: Config, ckpt_path: str,
         # per-batch reshard — CLAUDE.md hot-loop rule)
         ids, attn = serve(params, images)
         start_host_fetch(ids)
+        if pending is not None:
+            # consume BEFORE the attention-prefetch decision below: it
+            # fills raw_outputs['attention'] for the previous batch, so
+            # the cap check sees the current count (a stale count would
+            # async-fetch one full (B,H,T,L) f32 batch past the cap —
+            # 0.1-1.3 s wasted on the ~40 MB/s tunnel)
+            n_done += consume(*pending)
         if attn is not None:
             # alignment maps are big ((B,H,T,L) f32) — only fetch while
             # the attention cap still wants them
@@ -190,8 +211,6 @@ def run_inference(config: Config, ckpt_path: str,
             limit = 4 if limit is None else int(limit)
             if limit < 0 or len(raw_outputs["attention"]) < limit:
                 start_host_fetch(attn)
-        if pending is not None:
-            n_done += consume(*pending)
         pending = (ids, attn, files)
     if pending is not None:
         n_done += consume(*pending)

@@ -3,7 +3,7 @@
 The reference is single-process (SURVEY.md §2.9); the TPU-native
 equivalent is SPMD over hosts — every host runs the same CLI, JAX is
 initialized with a coordinator, and the input pipelines shard per host
-(`mesh.host_shard_indices`). Configuration is environment-driven so the
+(data/pipeline.py shards training records by process_index). Configuration is environment-driven so the
 CLI flag surface stays reference-shaped:
 
   COMIC_COORDINATOR   coordinator address host:port (presence enables

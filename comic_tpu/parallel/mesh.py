@@ -80,13 +80,6 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def host_shard_indices(n_items: int, batch_size: int) -> range:
-    """Per-host strided sharding of a file list for multi-host input
-    pipelines (each host feeds its local devices)."""
-    pid, n = jax.process_index(), jax.process_count()
-    return range(pid, n_items, n)
-
-
 def start_host_fetch(*arrays) -> None:
     """Kick off async device->host copies so a later np.asarray finds the
     bytes already on host instead of paying a synchronous link round trip

@@ -44,7 +44,10 @@ def extract_archive(path: str, out_dir: Optional[str] = None) -> str:
             z.extractall(out_dir)
     elif tarfile.is_tarfile(path):
         with tarfile.open(path) as t:
-            t.extractall(out_dir)
+            # filter='data' rejects path-traversal/absolute/symlink members
+            # and pins the behavior across Python versions (the default
+            # flips in 3.14)
+            t.extractall(out_dir, filter="data")
     else:
         raise ValueError(f"Unknown archive format: {path}")
     return out_dir

@@ -10,8 +10,6 @@ already on disk, converting slim checkpoints on first use.
 from __future__ import annotations
 
 import os
-import tarfile
-import urllib.request
 from typing import Dict, Optional
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -92,11 +90,12 @@ def maybe_get_ckpt_file(net: Dict[str, str], allow_download: bool = False
     if not (os.path.exists(ckpt) or os.path.exists(ckpt + ".index")):
         if not allow_download:
             return None
-        os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+        # atomic fetch + traversal-safe extract, shared with utils/io
+        from .io import extract_archive, maybe_download
+
         tar_path = ckpt + ".tar.gz"
-        urllib.request.urlretrieve(net["url"], tar_path)
-        with tarfile.open(tar_path) as tf:
-            tf.extractall(os.path.dirname(ckpt))
+        maybe_download(net["url"], tar_path, allow_download=True)
+        extract_archive(tar_path, os.path.dirname(ckpt))
         os.remove(tar_path)
     from .tf_checkpoint import convert_slim_checkpoint
 

@@ -133,13 +133,15 @@ def _conv_flops(eqn) -> float:
     return 2.0 * out_elems * in_ch_per_group * k_spatial
 
 
-# primitives that move/reshape data or are free at trace level — no VPU work
+# primitives that move/reshape data or are free at trace level — no VPU
+# ALU work (comparisons like eq/ne/lt are NOT here: they cost the same as
+# any elementwise op and count toward vpu_elems)
 _FREE = {
     "reshape", "squeeze", "expand_dims", "broadcast_in_dim", "transpose",
     "convert_element_type", "bitcast_convert_type", "slice", "rev",
     "stop_gradient", "copy", "device_put", "sharding_constraint",
     "split", "concatenate", "pad", "dynamic_slice", "dynamic_update_slice",
-    "gather", "scatter", "iota", "eq", "squeeze",
+    "gather", "scatter", "iota",
 }
 
 _SUBJAXPR_KEYS = ("jaxpr", "call_jaxpr", "fun_jaxpr")
@@ -176,9 +178,12 @@ def _walk(jaxpr, cost: Cost, while_trip_count: float) -> None:
             _walk(body, sub, while_trip_count)
             # per-iteration compulsory HBM traffic: the body re-reads its
             # carry + loop-invariant operands (weights, attention memory)
-            # from HBM each step — they exceed VMEM at production sizes
-            sub.bytes_lower = sum(_aval_bytes(v.aval)
-                                  for v in body.invars + body.outvars)
+            # from HBM each step — they exceed VMEM at production sizes.
+            # ADD to (not overwrite) whatever nested loops inside the body
+            # already accumulated, else a scan-of-scan (train_steps_per_call
+            # over the teacher-forced scan) drops the inner loop's traffic
+            sub.bytes_lower += sum(_aval_bytes(v.aval)
+                                   for v in body.invars + body.outvars)
             cost += sub.scaled(float(eqn.params["length"]))
         elif name == "while":
             body = _as_jaxpr(eqn.params["body_jaxpr"])
@@ -186,8 +191,8 @@ def _walk(jaxpr, cost: Cost, while_trip_count: float) -> None:
             _walk(body, sub, while_trip_count)
             _walk(_as_jaxpr(eqn.params["cond_jaxpr"]), sub,
                   while_trip_count)
-            sub.bytes_lower = sum(_aval_bytes(v.aval)
-                                  for v in body.invars + body.outvars)
+            sub.bytes_lower += sum(_aval_bytes(v.aval)
+                                   for v in body.invars + body.outvars)
             cost += sub.scaled(while_trip_count)
         elif name in ("cond", "switch"):
             worst = Cost()

@@ -21,6 +21,11 @@ from comic_tpu.training.xe import train_fn
 def test_image_id_from_path():
     assert image_id_from_path("a/COCO_val2014_000000123456.jpg") == 123456
     assert image_id_from_path("insta/user_post.jpg") == "user_post"
+    # '@' wins over digits (reference checks it FIRST, infer_fn.py:141):
+    # an insta post name ending in digits must stay a string id
+    assert image_id_from_path("im/user@post_123.jpg") == "user@post_123"
+    # first '_'-prefixed digit run, not the trailing one (P_COCO findall[0])
+    assert image_id_from_path("d/img_5_of_7.jpg") == 5
 
 
 def test_infer_dir_name():
