@@ -49,6 +49,14 @@ def tokenize(sentence) -> List[str]:
 
 def tokenize_all(train_json: Dict, test1_json: Dict,
                  num_valid: int = 2000) -> List[base.TokenisedImage]:
+    """Documented divergence: the seed-4896 shuffle that carves the
+    2000-post val split permutes a SORTED post list here, while the
+    reference shuffles posts in py2 dict-hash iteration order
+    (insta_prepro.py:29-58) — an ordering that cannot be reproduced under
+    py3. Artifacts regenerated here are therefore self-consistent but NOT
+    byte-identical to the reference's val carve (and hence its vocab);
+    use the reference's own wtoi/itow artifacts (Vocabulary.load handles
+    them) when scoring against reference-trained insta checkpoints."""
     data: List[base.TokenisedImage] = []
     for user_id, posts in sorted(train_json.items()):
         for post_id, post in sorted(posts.items()):

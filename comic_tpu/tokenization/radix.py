@@ -105,17 +105,21 @@ class RadixCodec:
     def decode_ids(self, ids: Sequence[int]) -> List[int]:
         """Digit-id sequence -> word ids.
 
-        Rules (infer_fn.py:50-63): keep only true digits ``0 <= d < base``
-        (drops GO/EOS/PAD); truncate a trailing incomplete group (the
-        reference drops one trailing digit, which is equivalent for its
-        2-digit default — we truncate to a full multiple of ``word_len``,
-        strictly a superset of that behavior for wider words); discard decoded
-        ids ``>= vocab_len``.
+        Rules, reproduced from the reference EXACTLY (infer_fn.py:50-63):
+        keep only true digits ``0 <= d < base`` (drops GO/EOS/PAD); when
+        the count is not a multiple of ``word_len``, drop exactly ONE
+        trailing digit — NOT truncate to a full multiple — and then stride
+        in ``word_len`` groups, so for word_len >= 3 a still-incomplete
+        trailing group is decoded as a SHORT word (its digits read
+        positionally, _baseN_arr_to_dec semantics). Identical outcomes at
+        the 2-digit COMIC-256 operating point; only wider radix configs
+        see the quirk. Decoded ids ``>= vocab_len`` are discarded.
         """
         row = [int(d) for d in ids if 0 <= int(d) < self.base]
-        usable = len(row) - (len(row) % self.word_len)
+        if len(row) % self.word_len != 0:
+            row = row[:-1]
         words = []
-        for j in range(0, usable, self.word_len):
+        for j in range(0, len(row), self.word_len):
             wid = base_arr_to_int(row[j : j + self.word_len], self.base)
             if wid < self.vocab_len:
                 words.append(wid)

@@ -100,14 +100,11 @@ def load_slim_checkpoint(ckpt_path: str, root_scope: str = "InceptionV1"
 
     reader = tf.train.load_checkpoint(ckpt_path)
     shapes = reader.get_variable_to_shape_map()
-    arrays = {}
-    for name in shapes:
-        # skip optimizer slots (Momentum/Adam/ExponentialMovingAverage)
-        low = name.lower()
-        if any(s in low for s in ("momentum", "adam", "rmsprop",
-                                  "global_step", "exponentialmovingaverage")):
-            continue
-        arrays[name] = reader.get_tensor(name)
+    # skip optimizer slots via the shared leaf-suffix rule (_is_slot_var):
+    # a substring test would also drop a legitimate scope that merely
+    # CONTAINS 'adam'/'momentum' somewhere in its path
+    arrays = {name: reader.get_tensor(name) for name in shapes
+              if not _is_slot_var(name)}
     return slim_reader_to_tree(arrays, root_scope)
 
 

@@ -63,9 +63,16 @@ class TestRadixCodec:
         # 0xFFF = 4095 >= 300 -> discarded
         assert codec.decode_ids([15, 15, 15]) == []
 
-    def test_decode_truncates_incomplete_group(self):
+    def test_decode_incomplete_group_reference_semantics(self):
+        # infer_fn.py:55-60: drop exactly ONE trailing digit when not a
+        # multiple of word_len, then stride — the remaining short trailing
+        # group decodes as a short word (word_len=3 here: 0x12C bound)
         codec = RadixCodec(vocab_len=300, base=16)
-        assert codec.decode_ids([1, 0, 2, 1, 0]) == [258]
+        assert codec.decode_ids([1, 0, 2, 1, 0]) == [258, 1]
+        # already a multiple: nothing dropped
+        assert codec.decode_ids([1, 0, 2]) == [258]
+        # one extra digit: dropped, leaving a clean group
+        assert codec.decode_ids([1, 0, 2, 5]) == [258]
 
     def test_radix_wtoi(self):
         wtoi = {PAD: -1, "a": 0, "b": 1, UNK: 2, GO: 3, EOS: 4}
