@@ -191,4 +191,14 @@ class TestScstEndToEnd:
         assert "reward" in metrics
         assert np.isfinite(metrics["total_loss"])
         from comic_tpu.training.checkpoints import list_checkpoints
-        assert list_checkpoints(c.log_path)
+        ckpts = list_checkpoints(c.log_path)
+        assert ckpts
+        # overlapped mode (the default) must train EXACTLY max_step steps:
+        # it used to dispatch one extra rollout on the final iteration and
+        # train on it post-loop, saving model_compact-4 for max_step=3
+        import os
+        import re
+
+        steps = [int(re.search(r"-(\d+)", os.path.basename(p)).group(1))
+                 for p in ckpts]
+        assert max(steps) == 3, ckpts
