@@ -111,6 +111,19 @@ def preprocess_batch(images_u8: jnp.ndarray, key: jax.Array,
 
     The single fused device kernel of the input pipeline.
     """
+    in_h, in_w = images_u8.shape[1], images_u8.shape[2]
+    if out_h > in_h or out_w > in_w:
+        # fail EARLY and clearly: the reference resizes to a fixed 256
+        # then CROPS to cnn_input_size (inception_preprocessing_radix.py:
+        # 271 + tf.random_crop), so >256 inputs (inception_v3/v4 299,
+        # nasnet_large 331 defaults) cannot run through this pipeline —
+        # the reference errors identically at train time and silently
+        # zero-pads a dead border at eval. Pick cnn_input_size <= the
+        # host resize (224 is the reference's operating point).
+        raise ValueError(
+            f"cnn_input_size ({out_h},{out_w}) exceeds the host-resized "
+            f"image ({in_h},{in_w}); the reference-faithful pipeline "
+            f"crops, never upsamples. Use cnn_input_size <= {in_h}.")
     imgs = images_u8.astype(jnp.float32) / 255.0
     if training:
         keys = jax.random.split(key, images_u8.shape[0])
@@ -129,6 +142,13 @@ def preprocess_batch_vgg(images_u8: jnp.ndarray, key: jax.Array,
     """VGG/ResNet path: 0-255 scale, RGB mean subtraction
     (vgg_preprocessing.py:286-365); train adds random flip + crop, eval
     central-crops."""
+    in_h, in_w = images_u8.shape[1], images_u8.shape[2]
+    if out_h > in_h or out_w > in_w:
+        # same crop-never-upsample contract as preprocess_batch
+        raise ValueError(
+            f"cnn_input_size ({out_h},{out_w}) exceeds the host-resized "
+            f"image ({in_h},{in_w}); the reference-faithful pipeline "
+            f"crops, never upsamples. Use cnn_input_size <= {in_h}.")
     imgs = images_u8.astype(jnp.float32)
     if training:
         keys = jax.random.split(key, images_u8.shape[0])
@@ -176,9 +196,14 @@ def resize_bilinear_tf1_np(img: np.ndarray, out_h: int, out_w: int
     """Numpy port of TF1 ``tf.image.resize_bilinear`` (align_corners=False):
     src = dst * (in / out), asymmetric mapping, edge-clamped. The device-side
     twin `resize_bilinear_tf1` is golden-tested against TF
-    (tests/test_data.py); this host version shares its coordinate math so
-    the loader can reproduce the reference input pipeline exactly
+    (tests/test_data.py); this host version shares its coordinate math
     (inception_preprocessing_radix.py:240-278, vgg_preprocessing.py:280).
+    Residual inexactness: the loader contract is uint8, so the bilinear
+    output is rounded back to uint8 here while the reference resizes in
+    float [0,1] and feeds the fractional values onward — up to 0.5/255
+    per-pixel skew survives even with tf1_exact=True. Account for it in
+    parity analyses; eliminating it would need a float image path through
+    the whole loader/device contract.
     """
     in_h, in_w = img.shape[:2]
 

@@ -78,6 +78,20 @@ class CocoCaptionEvaluator:
                  res_raw: Dict[int, List[dict]]) -> Dict[str, float]:
         # restrict gts to scored images (loadRes semantics)
         keys = [k for k in res_raw if k in gts_raw]
+        if res_raw and not keys:
+            raise ValueError(
+                "No result image id matches the annotations — the scores "
+                "would silently be all zeros. Typical cause: id type/format "
+                "skew (int COCO ids vs string filenames). Result ids look "
+                f"like {list(res_raw)[:3]!r}, annotation ids like "
+                f"{list(gts_raw)[:3]!r}.")
+        if len(keys) < len(res_raw):
+            import sys
+
+            print(f"WARNING: {len(res_raw) - len(keys)} of {len(res_raw)} "
+                  "result images have no annotation entry and are dropped "
+                  "from scoring (pycocotools loadRes would assert).",
+                  file=sys.stderr)
         from .tokenizer import java_available
 
         if not java_available(self.jar_dir):
@@ -89,10 +103,12 @@ class CocoCaptionEvaluator:
                     "BLEU/CIDEr beyond the parity budget. Provide "
                     f"--jar_dir containing {CORENLP_JAR!r} plus a java "
                     "runtime, or drop the requirement.")
+            import sys
+
             print("WARNING: CoreNLP PTB jar unavailable — scoring through "
                   "the Python tokenizer fallback (PTB-approximate; see "
                   "evaluation/tokenizer.py). Do NOT use these scores for "
-                  "reference-parity claims.")
+                  "reference-parity claims.", file=sys.stderr)
         tok = PTBTokenizer(self.jar_dir)
         gts = tok.tokenize({k: gts_raw[k] for k in keys})
         res = tok.tokenize({k: res_raw[k] for k in keys})
@@ -166,26 +182,34 @@ def write_score_artifacts(save_dir: str, ckpt_name: str,
     os.makedirs(save_dir, exist_ok=True)
     present = [m for m in METRIC_ORDER if m in scores]
 
+    def _append_with_header(path: str, header: str, row: str) -> None:
+        # re-emit the header when the metric set changed between appends
+        # (e.g. a second sweep WITH the METEOR/SPICE jars, or valid_ppl
+        # appearing) — rows must never silently misalign under an old
+        # header
+        prev = None
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    if line.startswith("checkpoint"):
+                        prev = line.rstrip("\n")
+        with open(path, "a") as f:
+            if prev != header:
+                f.write(header + "\n")
+            f.write(row + "\n")
+
     txt = os.path.join(save_dir, "metric_scores.txt")
-    new = not os.path.exists(txt)
-    with open(txt, "a") as f:
-        if new:
-            f.write("checkpoint\t" + "\t".join(present) + "\n")
-        f.write(ckpt_name + "\t"
-                + "\t".join(f"{scores[m]:.6f}" for m in present) + "\n")
+    _append_with_header(
+        txt, "checkpoint\t" + "\t".join(present),
+        ckpt_name + "\t" + "\t".join(f"{scores[m]:.6f}" for m in present))
 
     csv = os.path.join(save_dir, "metric_scores.csv")
-    new = not os.path.exists(csv)
-    with open(csv, "a") as f:
-        if new:
-            header = ["checkpoint"] + present
-            if valid_ppl is not None:
-                header.append("valid_ppl")
-            f.write(",".join(header) + "\n")
-        row = [ckpt_name] + [f"{scores[m]:.6f}" for m in present]
-        if valid_ppl is not None:
-            row.append(f"{valid_ppl:.6f}")
-        f.write(",".join(row) + "\n")
+    header = ["checkpoint"] + present
+    row = [ckpt_name] + [f"{scores[m]:.6f}" for m in present]
+    if valid_ppl is not None:
+        header.append("valid_ppl")
+        row.append(f"{valid_ppl:.6f}")
+    _append_with_header(csv, ",".join(header), ",".join(row))
 
     # per-image detail, sorted by CIDEr ascending (worst first)
     detail = sorted(img_to_eval.values(),

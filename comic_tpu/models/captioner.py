@@ -68,8 +68,14 @@ def build_model_spec(config: Config, vocab: Vocabulary) -> ModelSpec:
     if fm_endpoint not in enc.fm_channels:
         # e.g. the CLI default 'Mixed_4f' with a non-inception_v1 encoder:
         # fall back to the encoder's own attention endpoint
+        import sys
+
+        # stderr: bench.py / tools/*_sweep.py promise machine-readable
+        # stdout, and every non-inception_v1 encoder trips this with the
+        # CLI's 'Mixed_4f' default
         print(f"WARNING: endpoint {fm_endpoint} unknown for "
-              f"{config.cnn_name}; using {enc.default_fm_endpoint}.")
+              f"{config.cnn_name}; using {enc.default_fm_endpoint}.",
+              file=sys.stderr)
         fm_endpoint = enc.default_fm_endpoint
         config.cnn_fm_attention = fm_endpoint
     attn = AttentionConfig(

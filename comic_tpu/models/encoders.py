@@ -120,7 +120,13 @@ def _register_vggs():
             default_image_size=vgg.DEFAULT_IMAGE_SIZE,
             feature_dim=vgg.FEATURE_DIM,
             default_fm_endpoint="conv5_3" if name == "vgg_16" else "conv5_4",
-            fm_channels={"conv4_3": 512, "conv5_3": 512, "conv5_4": 512},
+            # per-net: vgg_16 has 3 convs per block-5 (no conv5_4) — a
+            # shared dict would pass build_model_spec's endpoint check and
+            # KeyError later inside encode_images
+            fm_channels=({"conv4_3": 512, "conv5_3": 512}
+                         if name == "vgg_16" else
+                         {"conv4_3": 512, "conv4_4": 512,
+                          "conv5_3": 512, "conv5_4": 512}),
             preprocessing="vgg",
         ))
 

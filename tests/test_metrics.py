@@ -246,3 +246,50 @@ class TestStringImageIds:
         scores, img_to_eval = evaluate_captions(ann_path, res_path)
         assert scores["Bleu_1"] > 0.9
         assert len(img_to_eval) == 2
+
+
+class TestEvaluateGuards:
+    def test_disjoint_id_sets_raise_not_zero(self):
+        # a systematic id skew must fail loudly, not record 0.000 scores
+        from comic_tpu.evaluation.coco_eval import CocoCaptionEvaluator
+
+        ev = CocoCaptionEvaluator()
+        with pytest.raises(ValueError, match="No result image id"):
+            ev.evaluate({"img_007.jpg": [{"caption": "a dog"}]},
+                        {7: [{"caption": "a dog"}]})
+
+    def test_artifact_header_reemitted_on_metric_set_change(self, tmp_path):
+        # appending rows with a different metric set (e.g. jars appearing)
+        # must re-emit the header, never misalign columns
+        from comic_tpu.evaluation.coco_eval import write_score_artifacts
+
+        d = str(tmp_path)
+        write_score_artifacts(d, "ckpt-1", {"Bleu_1": 0.5, "CIDEr": 0.9},
+                              {})
+        write_score_artifacts(d, "ckpt-2", {"Bleu_1": 0.6, "CIDEr": 1.0,
+                                            "METEOR": 0.3}, {})
+        lines = open(tmp_path / "metric_scores.txt").read().splitlines()
+        headers = [l for l in lines if l.startswith("checkpoint")]
+        assert len(headers) == 2 and "METEOR" in headers[1]
+        # same metric set again: no third header
+        write_score_artifacts(d, "ckpt-3", {"Bleu_1": 0.7, "CIDEr": 1.1,
+                                            "METEOR": 0.4}, {})
+        lines = open(tmp_path / "metric_scores.txt").read().splitlines()
+        assert sum(l.startswith("checkpoint") for l in lines) == 2
+
+
+def test_preprocess_rejects_upsampling_crop():
+    # the reference pipeline crops from the fixed 256 host resize and
+    # never upsamples (inception_preprocessing_radix.py:271); 299/331
+    # cnn_input_size must fail loudly at trace time, not TypeError deep
+    # in lax or silently zero-pad a dead border at eval
+    import jax
+    import jax.numpy as jnp
+
+    from comic_tpu.data.preprocessing import preprocess_batch
+
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.uint8)
+    for training in (True, False):
+        with pytest.raises(ValueError, match="crops, never upsamples"):
+            preprocess_batch(imgs, jax.random.PRNGKey(0), 128, 128,
+                             training)

@@ -141,11 +141,14 @@ class TestFallbackGuard:
             ev.evaluate({0: [{"caption": "a dog"}]},
                         {0: [{"caption": "a dog"}]})
 
-    def test_warns_on_silent_fallback(self, capsys):
+    def test_warns_on_silent_fallback_to_stderr(self, capsys):
         ev = CocoCaptionEvaluator(jar_dir="")
         ev.evaluate({0: [{"caption": "a dog runs"}]},
                     {0: [{"caption": "a dog runs"}]})
-        assert "fallback" in capsys.readouterr().out
+        captured = capsys.readouterr()
+        # stderr, not stdout — infer CLI stdout carries the score lines
+        assert "fallback" in captured.err
+        assert "fallback" not in captured.out
 
     def test_cli_flag_threads_through(self, tmp_path):
         # evaluate_captions honors the flag without touching a model
