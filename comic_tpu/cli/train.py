@@ -231,7 +231,15 @@ def main(argv=None):
         print("LEGACY mode enabled. Some arguments will be overridden.")
         apply_legacy_overrides(args)
 
-    rand_seed = RUN_SEEDS.get(args.run, RUN_SEEDS[1])
+    if args.run not in RUN_SEEDS:
+        # the reference KeyErrors for run > 3 (train.py rand_seed table);
+        # silently reusing run 1's seed would make "independent" runs
+        # share RNG streams
+        raise ValueError(
+            f"--run {args.run} has no seed in the reference's table "
+            f"(runs {sorted(RUN_SEEDS)}); add a seed to RUN_SEEDS or "
+            "pick a listed run.")
+    rand_seed = RUN_SEEDS[args.run]
     # scst_weight_bleu stays a string here; resolve_stage parses it for the
     # scst stage only
     extra = resolve_stage(args)

@@ -185,7 +185,10 @@ def apply(params: Params, images: jnp.ndarray,
         end_points[name] = net
         if name == final_endpoint:
             return net, end_points
-    return net, end_points
+    # slim's inception_v4 raises for unknown endpoints; silently
+    # returning the last block's output would hand the attention the
+    # wrong feature map
+    raise ValueError(f"Unknown inception_v4 endpoint {final_endpoint!r}")
 
 
 def pooled_features(net: jnp.ndarray) -> jnp.ndarray:

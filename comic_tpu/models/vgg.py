@@ -67,6 +67,14 @@ def apply(params: Params, images: jnp.ndarray, name: str = "vgg_16",
           final_endpoint: str = "fc7", dtype=None
           ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     layers = VGG_LAYERS[name]
+    valid = {f"conv{bi}_{li}" for bi, n in enumerate(layers, 1)
+             for li in range(1, n + 1)}
+    valid |= {f"pool{bi}" for bi in range(1, len(layers) + 1)}
+    valid |= {"fc6", "fc7"}
+    if final_endpoint not in valid:
+        # slim raises for unknown endpoints too — silently returning fc7
+        # would hand the caller the wrong layer's features
+        raise ValueError(f"Unknown {name} endpoint {final_endpoint!r}")
     end_points: Dict[str, jnp.ndarray] = {}
     net = images
     for bi, n in enumerate(layers, 1):
@@ -79,9 +87,13 @@ def apply(params: Params, images: jnp.ndarray, name: str = "vgg_16",
         net = jax.lax.reduce_window(net, -jnp.inf, jax.lax.max,
                                     (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
         end_points[f"pool{bi}"] = net
+        if f"pool{bi}" == final_endpoint:
+            return net, end_points
     # fc6 is a 7x7 VALID conv in slim; global_pool handles other sizes
     net = _conv(params["fc6"], net, padding="VALID", dtype=dtype)
     end_points["fc6"] = net
+    if final_endpoint == "fc6":
+        return net, end_points
     net = _conv(params["fc7"], net, dtype=dtype)
     end_points["fc7"] = net
     return net, end_points

@@ -21,7 +21,9 @@ from ..tokenization import EOS, GO, Vocabulary, build_vocab
 
 pjoin = os.path.join
 
-_NON_ALNUM = re.compile(r"[^a-z0-9 ]")
+# reference-exact (prepro_base.py:90): \w with re.UNICODE keeps unicode
+# word characters ('café' stays 'café'), '_' and everything else strips
+_NON_ALNUM = re.compile(r"([^\w]|_)+", re.UNICODE)
 
 
 class TokenisedImage(dict):
@@ -192,8 +194,9 @@ def load_h5_dataset(filepath: str, max_images: Optional[int] = None) -> Dict:
                   "test"):
             data[k] = [s.decode() if isinstance(s, bytes) else s
                        for s in f[k][:]]
-        data["images"] = (f["images"][:max_images] if max_images
-                          else f["images"][:])
+        # explicit None check: max_images=0 means "no images", not "all"
+        data["images"] = (f["images"][:] if max_images is None
+                          else f["images"][:max_images])
     return data
 
 

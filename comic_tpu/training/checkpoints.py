@@ -143,6 +143,7 @@ class AsyncCheckpointer:
 
         self._q: "queue.Queue" = queue.Queue(maxsize=2)
         self._err: Optional[BaseException] = None
+        self._closed = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -150,6 +151,7 @@ class AsyncCheckpointer:
         while True:
             job = self._q.get()
             if job is None:
+                self._q.task_done()  # keep join() after close() unblocked
                 return
             try:
                 save_checkpoint(**job)
@@ -166,6 +168,9 @@ class AsyncCheckpointer:
     def save(self, directory: str, step: int, params: Params,
              opt_state: Any = None, *, max_saves: int = 12) -> None:
         """Snapshot to host (synchronous) and enqueue the write."""
+        if self._closed:
+            # enqueueing to the dead worker would silently drop the save
+            raise RuntimeError("AsyncCheckpointer.save() after close()")
         self._raise_pending()
         self._q.put(dict(directory=directory, step=int(step),
                          params=_to_numpy(params),
@@ -178,7 +183,10 @@ class AsyncCheckpointer:
         self._raise_pending()
 
     def close(self) -> None:
+        if self._closed:
+            return  # idempotent
         self.wait()
+        self._closed = True
         self._q.put(None)
         self._thread.join()
 
@@ -393,41 +401,58 @@ def restore_model(params: Params, checkpoint_path: Optional[str], *,
             merged = restore_with_excludes(params, restored, exclude_scopes)
             return merged, opt_state, 0, "model"
         # no Model/ scope: a raw slim CNN checkpoint -> CNN branch below
-    elif resolved is not None:
+    compact_err: Optional[BaseException] = None
+    if resolved is not None and not resolved.endswith(_TF_SUFFIX):
         try:
             restored = load_compact(resolved, params)
             merged = restore_with_excludes(params, restored, exclude_scopes)
             return merged, opt_state, 0, "model"
-        except ValueError:
-            pass  # e.g. a CNN-only msgpack artifact -> CNN branch below
+        except ValueError as e:
+            compact_err = e  # maybe a CNN-only msgpack -> CNN branch below
 
     # CNN-only restore: a converted slim checkpoint holding just the
     # encoder/cnn subtree (model_base.py:471-484), or a vanilla slim TF
     # ImageNet checkpoint converted in memory (root scope auto-detected).
     cnn_tpl = params["encoder"]["cnn"]
     path = checkpoint_path
-    if os.path.isdir(path):
-        cands = [f for f in os.listdir(path)
-                 if f.endswith(_SUFFIX) or f.endswith(_TF_SUFFIX)]
-        if not cands:
-            raise FileNotFoundError(f"No checkpoint under {path}")
-        # natural order, matching list_checkpoints: a lexicographic sort
-        # would pick model_compact-9 over model_compact-10
-        path = os.path.join(path, sorted(cands, key=natural_key)[-1])
-    if path.endswith(_TF_SUFFIX):
-        path = path[: -len(_TF_SUFFIX)]
-    if os.path.exists(path + _TF_SUFFIX):
-        from ..utils import tf_checkpoint as tfc
+    try:
+        if os.path.isdir(path):
+            cands = [f for f in os.listdir(path)
+                     if f.endswith(_SUFFIX) or f.endswith(_TF_SUFFIX)]
+            if not cands:
+                raise FileNotFoundError(f"No checkpoint under {path}")
+            # natural order, matching list_checkpoints: a lexicographic
+            # sort would pick model_compact-9 over model_compact-10
+            path = os.path.join(path, sorted(cands, key=natural_key)[-1])
+        if path.endswith(_TF_SUFFIX):
+            path = path[: -len(_TF_SUFFIX)]
+        if os.path.exists(path + _TF_SUFFIX):
+            from ..utils import tf_checkpoint as tfc
 
-        tree = tfc._detect_cnn_tree(
-            tfc.load_reference_checkpoint_vars(path), "", cnn_tpl)
-        cnn = tfc.convert_slim_tree(tree, cnn_tpl)
-    else:
-        with open(path, "rb") as f:
-            cnn = serialization.from_bytes(cnn_tpl, f.read())
+            tree = tfc._detect_cnn_tree(
+                tfc.load_reference_checkpoint_vars(path), "", cnn_tpl)
+            cnn = tfc.convert_slim_tree(tree, cnn_tpl)
+        else:
+            with open(path, "rb") as f:
+                cnn = serialization.from_bytes(cnn_tpl, f.read())
+    except Exception as cnn_err:
+        if compact_err is not None:
+            # don't launder a genuine full-model mismatch (e.g. a compact
+            # msgpack from a different rnn config) into a confusing
+            # CNN-branch error: surface BOTH failures
+            raise ValueError(
+                f"Checkpoint {resolved!r} failed the full-model restore "
+                f"({compact_err}) AND the CNN-only fallback ({cnn_err}). "
+                "The first error is usually the real one (config/"
+                "checkpoint mismatch).") from compact_err
+        raise
     out = dict(params)
     out["encoder"] = dict(params["encoder"])
     out["encoder"]["cnn"] = cnn
+    # the reference's CNN branch ALSO filters exclude_patterns
+    # (model_base.py:471-484 filter_variables), so an excluded scope keeps
+    # its initializer even when the checkpoint covers it
+    out = restore_with_excludes(params, out, exclude_scopes)
     return out, opt_state, 0, "cnn"
 
 

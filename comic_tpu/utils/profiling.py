@@ -1,59 +1,15 @@
 """Profiling and throughput tracing.
 
 The reference's only observability is wall-clock examples/sec summaries and
-infer_speed.txt (SURVEY.md §5). Here we keep those artifacts and add real
-device tracing: `trace()` wraps a region with jax.profiler (TensorBoard
-trace viewer format), and `Throughput` maintains the examples/sec counters
-the train loops log.
+infer_speed.txt (SURVEY.md §5). Here we add real device tracing:
+`StepTracer` captures a jax.profiler trace window of training-loop
+iterations (config.profile_dir; the examples/sec counters live inline in
+the train loops themselves).
 """
 
 from __future__ import annotations
 
-import contextlib
-import time
-from typing import Iterator, Optional
-
-
-@contextlib.contextmanager
-def trace(log_dir: Optional[str]) -> Iterator[None]:
-    """jax.profiler trace of the enclosed region (no-op when log_dir is
-    falsy or the profiler is unavailable on the platform)."""
-    if not log_dir:
-        yield
-        return
-    import jax
-
-    try:
-        jax.profiler.start_trace(log_dir)
-        started = True
-    except Exception:
-        started = False
-    try:
-        yield
-    finally:
-        if started:
-            try:
-                jax.profiler.stop_trace()
-            except Exception:
-                pass
-
-
-class Throughput:
-    """Examples/sec between check-ins (train_fn.py:101-106 semantics)."""
-
-    def __init__(self):
-        self._t = time.time()
-        self._n = 0
-
-    def add(self, n: int) -> None:
-        self._n += n
-
-    def rate_and_reset(self) -> float:
-        dt = time.time() - self._t
-        rate = self._n / max(dt, 1e-9)
-        self._t = time.time()
-        self._n = 0
-        return rate
+from typing import Optional
 
 
 class StepTracer:

@@ -48,11 +48,16 @@ class SummaryWriter:
         import numpy as np
 
         arr = np.asarray(array_u8)
-        path = os.path.join(self._dir, f"{name}___{int(step)}.png")
+        # sanitize TB-style scoped names ('train/input'): cv2.imwrite
+        # reports a bad path by returning False, not raising
+        safe = name.replace("/", "_")
+        path = os.path.join(self._dir, f"{safe}___{int(step)}.png")
         try:
             import cv2
 
-            cv2.imwrite(path, arr[..., ::-1])  # RGB -> BGR
+            ok = cv2.imwrite(path, arr[..., ::-1])  # RGB -> BGR
+            if not ok:
+                raise IOError(f"cv2.imwrite failed for {path}")
         except ImportError:
             from PIL import Image
 
