@@ -196,9 +196,13 @@ class TrainPipeline:
                 config.dataset_dir, config.dataset_file_pattern, split))
 
         # Pre-encode captions once (cheap, avoids per-epoch
-        # re-tokenization) — over the GLOBAL records, BEFORE host sharding,
-        # so the data-derived overflow bucket bound (and therefore every
-        # compiled batch shape) is identical on every host.
+        # re-tokenization). Records/encoded stay GLOBAL on every host: the
+        # data-derived overflow bucket bound, the shuffled batch order
+        # (same rand_seed) and every bucket width are then identical
+        # across hosts, and each host materializes only its contiguous
+        # BLOCK of every batch (_make_batch) — the layout
+        # jax.make_array_from_process_local_data / mesh.global_batch
+        # expects for the train step's batch-sharded inputs.
         encoded: List[np.ndarray] = [
             encode_caption_tokens(toks, config.token_type, vocab,
                                   config.radix_base)
@@ -206,17 +210,13 @@ class TrainPipeline:
         ]
         self.global_size = len(records)
         max_len = max((len(r) for r in encoded), default=0)
-        self._n_proc = 1
+        self._n_proc, self._pid = 1, 0
         if shard_by_process and self.is_training:
-            # multi-host: each host feeds its local devices a strided shard
-            # of the training records (single-host: identity)
             import jax
 
             if jax.process_count() > 1:
                 self._n_proc = jax.process_count()
-                pid = jax.process_index()
-                records = records[pid::self._n_proc]
-                encoded = encoded[pid::self._n_proc]
+                self._pid = jax.process_index()
         self.records = records
         self._encoded = encoded
         self.bounds = bucket_boundaries(config, vocab,
@@ -232,12 +232,12 @@ class TrainPipeline:
 
         if config.split_sizes is None:
             config.split_sizes = {}
-        # Global quantities, deterministic across hosts: per-host strided
-        # shards differ by one row when the split size does not divide the
-        # process count, and a max_step derived from the LOCAL shard would
-        # make one host exit the lockstep train loop one step before the
-        # others — deadlocking their final collective. split_sizes records
-        # the full split like the reference (manager_image_caption.py:55).
+        # Global quantities, identical on every host (anything else would
+        # desynchronize the lockstep train loop and deadlock the final
+        # collective). One step consumes a GLOBAL batch of
+        # batch_size * n_proc rows (each host contributes batch_size).
+        # split_sizes records the full split like the reference
+        # (manager_image_caption.py:55).
         config.split_sizes[split] = self.global_size
         if self.is_training:
             config.max_step = int(
@@ -263,12 +263,17 @@ class TrainPipeline:
         return order
 
     def _batches_of_indices(self) -> Iterator[List[int]]:
-        """Yield bucket-homogeneous index batches covering one epoch."""
+        """Yield bucket-homogeneous index batches covering one epoch.
+
+        Training batches are GLOBAL (batch_size * n_proc indices; each
+        host later takes its block in _make_batch)."""
+        group = (self.batch_size * self._n_proc if self.is_training
+                 else self.batch_size)
         buckets: List[List[int]] = [[] for _ in self.bounds]
         for idx in self._epoch_order():
             b = pick_bucket(len(self._encoded[idx]), self.bounds)
             buckets[b].append(idx)
-            if len(buckets[b]) == self.batch_size:
+            if len(buckets[b]) == group:
                 yield buckets[b]
                 buckets[b] = []
         if not self.is_training:
@@ -286,7 +291,16 @@ class TrainPipeline:
 
     def _make_batch(self, idxs: List[int]) -> Tuple[np.ndarray, np.ndarray]:
         rows = [self._encoded[i] for i in idxs]
+        # width from the FULL (global) batch, BEFORE the per-process block
+        # slice: every host must pad to the same compiled shape
         width = self.bounds[max(pick_bucket(len(r), self.bounds) for r in rows)]
+        if self._n_proc > 1:
+            # multi-host: idxs is a GLOBAL batch of batch_size * n_proc
+            # rows; this host materializes (and decodes images for) only
+            # its contiguous block — the layout mesh.global_batch expects
+            blk = len(idxs) // self._n_proc
+            idxs = idxs[self._pid * blk: (self._pid + 1) * blk]
+            rows = rows[self._pid * blk: (self._pid + 1) * blk]
         caps = pad_rows(rows, width)
         paths = [cap_io.pjoin(self.config.dataset_dir, self.records[i][0])
                  for i in idxs]
@@ -318,13 +332,15 @@ class TrainPipeline:
         # starves forever when no single bucket fills a batch within one
         # epoch (tiny datasets / large batches).
 
+        group = self.batch_size * self._n_proc  # global rows per step
+
         def gen():
             buckets: List[List[int]] = [[] for _ in self.bounds]
             while True:
                 for idx in self._epoch_order():
                     b = pick_bucket(len(self._encoded[idx]), self.bounds)
                     buckets[b].append(idx)
-                    if len(buckets[b]) == self.batch_size:
+                    if len(buckets[b]) == group:
                         yield self._make_batch(buckets[b])
                         buckets[b] = []
 

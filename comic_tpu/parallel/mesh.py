@@ -38,6 +38,22 @@ def make_mesh_for_batch(*batch_sizes: int, limit: int = 0) -> Mesh:
     (config.num_data_shards; 0 = use every divisible device).
     """
     n_avail = len(jax.devices())
+    if jax.process_count() > 1:
+        # multi-process: a sub-mesh of jax.devices()[:n] would exclude
+        # whole processes (their make_array_from_process_local_data rows
+        # would map nowhere). The global mesh must span every device, so
+        # the (global) batch must divide it — fail loudly, don't shrink.
+        bad = [b for b in batch_sizes if b % n_avail]
+        if bad:
+            raise ValueError(
+                f"multi-process mesh: global batch size(s) {bad} must "
+                f"divide the {n_avail} global devices.")
+        if limit and 0 < limit < n_avail:
+            raise ValueError(
+                "num_data_shards cannot shrink a multi-process mesh "
+                f"({limit} < {n_avail} devices spanning "
+                f"{jax.process_count()} processes).")
+        return make_mesh(None)
     n = n_avail
     if limit and limit > 0:
         n = min(n, int(limit))
@@ -135,10 +151,39 @@ def local_batch_start(x, axis: int = 0) -> int:
     return int(min(starts)) if starts else 0
 
 
-def global_batch(mesh: Mesh, x_local: np.ndarray):
+def global_batch(mesh: Mesh, x_local: np.ndarray, axis: int = 0):
     """Inverse of local_batch: assemble a batch-sharded global array from
-    each host's local rows (identity wrapper on single host)."""
+    each host's local rows along `axis` (identity on single host).
+
+    Multi-process jit REJECTS per-host numpy against a non-trivially
+    sharded global mesh ('Passing non-trivial shardings for numpy inputs
+    is not allowed') — every batch fed to a sharded train/eval/rollout
+    step must pass through here (or feed_global) first."""
     if jax.process_count() == 1:
         return x_local
+    x_local = np.asarray(x_local)
+    spec = [None] * x_local.ndim
+    spec[axis] = DATA_AXIS
     return jax.make_array_from_process_local_data(
-        batch_sharding(mesh), x_local)
+        NamedSharding(mesh, P(*spec)), x_local)
+
+
+def feed_global(mesh: Mesh, x, axis: int = 0):
+    """Full per-host batch (IDENTICAL content on every host, e.g. an
+    unsharded eval/SCST pipeline) -> batch-sharded global array of the
+    same global size: each process contributes its contiguous block.
+    Identity on single host."""
+    n = jax.process_count()
+    if n == 1:
+        return x
+    x = np.asarray(x)
+    size = x.shape[axis]
+    if size % n:
+        raise ValueError(
+            f"feed_global: batch axis {axis} of size {size} does not "
+            f"divide across {n} processes.")
+    blk = size // n
+    sl = [slice(None)] * x.ndim
+    pid = jax.process_index()
+    sl[axis] = slice(pid * blk, (pid + 1) * blk)
+    return global_batch(mesh, x[tuple(sl)], axis=axis)

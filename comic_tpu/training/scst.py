@@ -317,6 +317,17 @@ def train_fn_scst(config: Config, *,
                         < max_step)
         if need_rollout:
             images, refs = next(data_iter)
+            if jax.process_count() > 1:
+                # the SCST pipeline is NOT process-sharded (host scoring
+                # needs the full batch's refs — host_score_shard); each
+                # host contributes its contiguous image block, since
+                # multi-process jit rejects per-host numpy against the
+                # sharded global mesh. The host-local rng key (identical
+                # value everywhere, same seed) replicates globally.
+                from ..parallel.mesh import feed_global, replicate
+
+                images = feed_global(mesh, images)
+                k_roll = replicate(mesh, k_roll)
             # raw numpy in: jit shards + transfers per its in_shardings
             out = rollout(state.params, images, k_roll)
             _start_ids_fetch(out)
@@ -436,6 +447,13 @@ def _finish_step(pending, state, train_step, scorer, config, vocab, width,
     (greedy_ids, beam_ids, im_embed, fmaps), refs = pending
     hypo_ids, rewards, score_metrics = host_score_shard(
         greedy_ids, beam_ids, refs, scorer, config, vocab, width, mesh=mesh)
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        # host-local rng key -> globally replicated (same value everywhere)
+        from ..parallel.mesh import replicate
+
+        k_train = replicate(mesh, k_train)
     state, metrics = train_step(state, im_embed, fmaps, hypo_ids,
                                 rewards, k_train)
     # keep train metrics as device scalars: a per-step float() costs a

@@ -33,7 +33,8 @@ from ..models.captioner import (
     xe_forward,
 )
 from ..models.layers import count_params
-from ..parallel.mesh import make_mesh_for_batch, replicate
+from ..parallel.mesh import (feed_global, global_batch,
+                             make_mesh_for_batch, replicate)
 from ..tokenization import Vocabulary, build_char_vocab
 from ..utils.summaries import SummaryWriter
 from . import checkpoints as ckpt
@@ -236,15 +237,30 @@ def make_eval_step(spec: ModelSpec, config: Config,
     return jax.jit(eval_step)
 
 
-def evaluate_perplexity(eval_step, params, pipeline) -> float:
+def evaluate_perplexity(eval_step, params, pipeline, mesh=None) -> float:
     """Mean eval log-perplexity over one pass (train_fn.py:320-338).
 
     Dispatches the whole pass pipelined and converts to host floats only
     at the end: a per-batch float() would pay the ~3.8 ms dispatch floor
     of the tunneled backend x eval batches at every checkpoint
-    (CLAUDE.md per-dispatch-floor note)."""
+    (CLAUDE.md per-dispatch-floor note).
+
+    Multi-process: the eval pipeline is NOT process-sharded (every host
+    loads the identical batch, same seed), so each host contributes its
+    contiguous block via feed_global — jit rejects per-host numpy against
+    the sharded global mesh."""
+    import jax as _jax
+
+    # conversion needed only when the eval jit is batch-sharded (mirrors
+    # make_eval_step's divisibility fallback: with REPLICATED in_shardings
+    # per-host numpy is still legal multi-process)
+    multiproc = (_jax.process_count() > 1 and mesh is not None
+                 and pipeline.batch_size % mesh.devices.size == 0)
     losses = []
     for images, caps in pipeline.epoch():
+        if multiproc:
+            images = feed_global(mesh, images)
+            caps = feed_global(mesh, caps)
         # raw numpy in: jit shards + transfers per its in_shardings
         losses.append(eval_step(params, images, caps))
         # Bound in-flight staged batches: without an occasional sync the
@@ -324,9 +340,10 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
     if mesh is None:
         # train mesh sized by the TRAIN batch only — the reference eval
         # batch (61, prime) must not collapse the train mesh to 1 device;
-        # the eval step shards on its own mesh.
+        # the eval step shards on its own mesh. Multi-process: one step's
+        # GLOBAL batch is batch_size_train rows from EACH host.
         mesh = make_mesh_for_batch(
-            config.batch_size_train,
+            config.batch_size_train * jax.process_count(),
             limit=int(config.get("num_data_shards") or 0))
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
@@ -375,6 +392,13 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
             logged_image = True
         rng, sub = jax.random.split(rng)
         prev_step = step
+        # multi-PROCESS feeding: jit rejects per-host numpy against a
+        # non-trivially sharded global mesh; each host's pipeline block
+        # (pipeline._make_batch) becomes its shard of a global array.
+        # Single-process (incl. the 8-virtual-device dryrun) keeps the
+        # raw-numpy fast path: jit shards + transfers asynchronously per
+        # in_shardings (see make_train_step; CLAUDE.md hot-loop rule).
+        multiproc = jax.process_count() > 1
         if multi_step is not None and step + spc <= max_step:
             # collect K-1 more batches and run them all in ONE dispatch;
             # caption buckets differ in width, so pad the stack to the
@@ -389,13 +413,22 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
             cps = [np.pad(c, ((0, 0), (0, width - c.shape[1])),
                           constant_values=-1) for c in cps]
             keys = jax.random.split(sub, spc)
-            state, metrics = multi_step(state, np.stack(ims),
-                                        np.stack(cps), keys, widths)
+            ims_k, cps_k = np.stack(ims), np.stack(cps)
+            if multiproc:
+                # stacked (K, B, ...) batches shard on axis 1; the rng
+                # keys are host-local jax arrays (same value on every
+                # host, identical seed) and must be replicated globally
+                ims_k = global_batch(mesh, ims_k, axis=1)
+                cps_k = global_batch(mesh, cps_k, axis=1)
+                keys = replicate(mesh, keys)
+            state, metrics = multi_step(state, ims_k, cps_k, keys, widths)
             step += spc
             n_since += sum(im.shape[0] for im in ims)
         else:
-            # raw numpy in: jit shards + transfers asynchronously per
-            # in_shardings (see make_train_step)
+            if multiproc:
+                images = global_batch(mesh, images)
+                caps = global_batch(mesh, caps)
+                sub = replicate(mesh, sub)
             state, metrics = train_step(state, images, caps, sub)
             step += 1
             n_since += images.shape[0]
@@ -419,7 +452,7 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
             saver.save(config.log_path, step, state.params,
                        state.opt_state, max_saves=config.max_saves)
             eval_ppl = evaluate_perplexity(eval_step, state.params,
-                                           eval_pipe)
+                                           eval_pipe, mesh=mesh)
             writer.scalars(step, {"eval_perplexity": eval_ppl})
             print(f"step {step}: eval perplexity {eval_ppl:.3f}")
 

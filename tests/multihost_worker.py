@@ -82,8 +82,17 @@ def main(out_path):
                     scst_beam_size=2)
     pipe = TrainPipeline(config, vocab, "train",
                          records=[(f, c[0]) for f, c in records])
-    assert pipe.records == [(f, c[0]) for f, c in records][pid::2], \
-        "pipeline did not shard records per process"
+    # records stay GLOBAL on every host (identical shuffle order + bucket
+    # widths); each host materializes its contiguous BLOCK of every
+    # global batch of batch_size * n_proc indices (_make_batch)
+    assert pipe.records == [(f, c[0]) for f, c in records], \
+        "records must stay global on every host"
+    assert pipe._n_proc == 2 and pipe._pid == pid
+    batches = list(pipe._batches_of_indices())
+    assert batches and all(len(b) == 2 * 2 for b in batches), \
+        "training batches must hold batch_size * n_proc global indices"
+    assert pipe.steps_per_epoch == 12 // (2 * 2)
+    assert config.max_step == int(12 / (2 * 2) * config.max_epoch)
 
     # --- 3. real cross-host DP all-reduce ---------------------------------
     x_glob = np.arange(16 * 3, dtype=np.float32).reshape(16, 3) / 10.0
@@ -159,9 +168,34 @@ def main(out_path):
         rtol=1e-6)
     assert hypo_g.shape == (K * B, width) and rew_g.shape == (K * B,)
 
+    # --- 6. REAL XE train_fn over the 2-process mesh -----------------------
+    # The full driver: pipeline block-slicing -> mesh.global_batch feeding
+    # (multi-process jit rejects per-host numpy) -> sharded fused train
+    # step -> replicated-eval perplexity -> checkpoint save of replicated
+    # global params. Both hosts run one SPMD program, so the final loss
+    # must be bit-identical across processes (compared by the pytest side).
+    from comic_tpu.data.synthetic import make_synthetic_dataset
+    from comic_tpu.training.xe import train_fn
+
+    root, _ = make_synthetic_dataset(
+        out_path + f".data{pid}", num_train=16, num_valid=4, num_test=4,
+        seed=11)  # deterministic content; per-process dirs, no write races
+    c6 = Config(token_type="word", dataset_dir=root,
+                dataset_file_pattern="synth_{}",
+                batch_size_train=4,  # per host; global batch 8 = devices
+                batch_size_eval=4, max_epoch=2, rnn_size=16,
+                rnn_word_size=8, attn_num_heads=2, compute_dtype="float32",
+                cnn_input_size=(64, 64), dropout_rnn_in=0.0,
+                dropout_rnn_out=0.0, attn_keep_prob=1.0,
+                log_path=out_path + f".exp{pid}", num_logs_per_epoch=1,
+                rand_seed=0)
+    xe_metrics = train_fn(c6, max_steps_override=3)
+    assert np.isfinite(xe_metrics["total_loss"]), xe_metrics
+
     with open(out_path, "w") as f:
         json.dump({"pid": pid, "n_proc": n_proc,
                    "reward_mean": float(metrics["reward"]),
+                   "xe_loss": float(xe_metrics["total_loss"]),
                    "ok": True}, f)
 
 

@@ -48,7 +48,7 @@ def test_two_process_distributed_run(tmp_path):
     results = []
     for p in procs:
         try:
-            stdout, stderr = p.communicate(timeout=600)
+            stdout, stderr = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -65,3 +65,7 @@ def test_two_process_distributed_run(tmp_path):
     # both hosts observe the same mean reward for their own shard metric
     # only if shards differ — just check the field exists and is finite
     assert all(abs(p["reward_mean"]) < 100 for p in payloads)
+    # the real XE train_fn ran as ONE SPMD program across both processes:
+    # its final loss must be bit-identical on every host
+    assert payloads[0]["xe_loss"] == payloads[1]["xe_loss"]
+    assert abs(payloads[0]["xe_loss"]) < 1e4
