@@ -13,8 +13,22 @@ beam 3 first: its shape family is the bench-validated compile, so a
 flaky remote-compile session still yields the headline point first)
 One JSON line per beam to stdout; human table to stderr.
 
-MEASURED numbers live at the end of this docstring once the sweep has
-run on hardware (kept out of git until then).
+MEASURED (2026-08-18, axon v5e, b128, 60 steps, early-exit off-path,
+pipelined x30):
+
+    beam 1:  17.01 ms   7524.8 captions/s  (128 rows)
+    beam 2:  19.67 ms   6508.8 captions/s  (256 rows)
+    beam 3:  23.27 ms   5500.6 captions/s  (384 rows)   <- headline point
+    beam 5:  34.74 ms   3684.1 captions/s  (640 rows)
+    beam 7:  40.40 ms   3168.4 captions/s  (896 rows)
+
+Prediction confirmed: NO cliff through beam 7 (896 rows), while the
+batch sweep cliffs at b136 (408 rows) — the K/V footprint really is
+per-image. Incremental decode cost is ~0.37-0.75 us/beam-row/step
+(vs the 0.60 us/row VMEM-resident batch-sweep rate); the beam-5 point
+(640 rows) runs a slightly worse tiling but recovers by beam 7. The
+fixed ~14.5 ms floor (encoder + precompute + beam-1 decode dispatch)
+dominates small beams: beam 7 costs only 2.4x beam 1, not 7x.
 """
 
 import json
