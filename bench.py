@@ -55,17 +55,25 @@ def real_vocab():
     return Vocabulary(wtoi)
 
 
-def _pipelined_ms(fn, args, iters, sync, warmup=2):
-    """Mean wall ms/call: pipelined dispatch, one trailing host sync."""
+def _pipelined_ms(fn, args, iters, sync, warmup=2, rounds=2):
+    """Mean wall ms/call: pipelined dispatch, one trailing host sync.
+
+    Best of `rounds` measurement rounds — the axon tunnel occasionally
+    injects tens of ms of latency into a whole round (a 15.6 ms XE step
+    re-measured at 8.5 ms in isolation); compile is cached so a second
+    round costs only the measurement itself."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
     sync(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    sync(out)
-    return (time.time() - t0) * 1e3 / iters
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        best = min(best, (time.time() - t0) * 1e3 / iters)
+    return best
 
 
 def bench_serving(config, spec, params, steps, beam):
@@ -93,8 +101,11 @@ def bench_serving(config, spec, params, steps, beam):
     rng = np.random.default_rng(0)
     best, best_batch = 0.0, 0
     ms_by_batch = {}
-    # 192 measured 4038 captions/s (bad tiling for 576 beam rows) — skip it
-    for batch in (64, 128, 256):
+    # 25 is the reference's exact infer operating point (infer.py:61-72,
+    # batch_size_infer=25) — reported for direct comparability, never the
+    # throughput winner. 192 measured 4038 captions/s (bad tiling for 576
+    # beam rows) — skip it.
+    for batch in (25, 64, 128, 256):
         images_u8 = jnp.asarray(
             rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
         jserve = jax.jit(serve)
@@ -529,6 +540,9 @@ def main():
         "scst_loop_eps_overlap": round(scst_eps_on, 1),
         "scst_loop_eps_strict": round(scst_eps_off, 1),
         "serve_floor_ms_b128_earlyexit": round(floor_ms, 2),
+        # reference operating point (infer.py:61-72: batch 25, beam 3)
+        "serve_ms_b25_refpoint": round(ms_by_batch[25], 2)
+        if 25 in ms_by_batch else None,
         # analytic roofline/MFU derivations (comic_tpu/utils/roofline.py):
         # mfu = traced-jaxpr MXU flops / (measured s * 197e12 bf16 peak);
         # hbm_util_lower uses compulsory program I/O bytes / 819 GB/s
