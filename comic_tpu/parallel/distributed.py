@@ -2,9 +2,10 @@
 
 The reference is single-process (SURVEY.md §2.9); the TPU-native
 equivalent is SPMD over hosts — every host runs the same CLI, JAX is
-initialized with a coordinator, and the input pipelines shard per host
-(data/pipeline.py shards training records by process_index). Configuration is environment-driven so the
-CLI flag surface stays reference-shaped:
+initialized with a coordinator, and the training pipeline keeps a global
+shuffle order while each host materializes its contiguous block of every
+global batch (data/pipeline.py, mesh.global_batch). Configuration is
+environment-driven so the CLI flag surface stays reference-shaped:
 
   COMIC_COORDINATOR   coordinator address host:port (presence enables
                       multi-host init)
