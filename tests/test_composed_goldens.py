@@ -36,6 +36,9 @@ def _randomize(params, rng, w_std=0.15):
 
     def f(path, leaf):
         name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        # nasnet's scope-path store keys leaves as 'conv0_bn/moving_mean'
+        # (slash inside ONE key) — match on the last component
+        name = name.rsplit("/", 1)[-1]
         if name == "moving_variance":
             return jnp.asarray(rng.uniform(0.5, 2.0, leaf.shape), jnp.float32)
         if name in ("moving_mean", "beta", "gamma", "biases"):
@@ -497,6 +500,255 @@ class TestInceptionV1FullGolden:
             np.asarray(iv1.pooled_features(ep["Mixed_5c"])),
             tf.reduce_mean(want["Mixed_5c"], axis=[1, 2]).numpy(),
             rtol=2e-3, atol=5e-3)
+
+
+def _flat(tree):
+    """Nested param dict -> {'a/b/c': np.ndarray} (nasnet scope paths)."""
+    out = {}
+
+    def walk(d, pre=""):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                walk(v, pre + k + "/")
+            else:
+                out[pre + k] = np.asarray(v)
+
+    walk(tree)
+    return out
+
+
+class _NasTwin:
+    """Raw tf.nn twin of slim's NASNet cell stack, transcribed from the
+    reference sources (NOT from our jax code): factorized_reduction
+    nasnet_utils.py:90-129, _stacked_separable_conv :178-206, _pooling
+    :232-246, _reduce_prev_layer/_cell_base :274-306, NasNetABaseCell
+    __call__ :307-355, _apply_conv_operation :357-395,
+    _combine_unused_states :397-425, _imagenet_stem nasnet.py:252-278.
+    Convs are bias-free with separate BN (arg scope nasnet.py:185-187),
+    eps=1e-3. Params are fetched from OUR converted-layout tree by slim
+    scope path, so this also pins the checkpoint-conversion layout."""
+
+    EPS = 1e-3
+
+    def __init__(self, flat_params):
+        self.p = flat_params
+
+    def bn(self, scope, y):
+        return ((y - self.p[scope + "/moving_mean"])
+                / np.sqrt(self.p[scope + "/moving_variance"] + self.EPS)
+                * self.p[scope + "/gamma"] + self.p[scope + "/beta"])
+
+    def conv(self, scope, y, stride=1, padding="SAME"):
+        return tf.nn.conv2d(y, self.p[scope + "/weights"], strides=stride,
+                            padding=padding)
+
+    def sep_stack(self, scope, y, operation, stride):
+        # _operation_to_info (nasnet_utils.py:147-175): e.g.
+        # 'separable_5x5_2' -> kernel 5, 2 stacked layers
+        k = int(operation.split("x")[0][-1])
+        tail = operation.split("_")[-1]
+        num_layers = 1 if "x" in tail else int(tail)
+        for i in range(1, num_layers + 1):
+            y = tf.nn.relu(y)
+            y = tf.nn.depthwise_conv2d(
+                y, self.p[f"{scope}/separable_{k}x{k}_{i}/depthwise_weights"],
+                [1, stride, stride, 1], "SAME")
+            y = tf.nn.conv2d(
+                y, self.p[f"{scope}/separable_{k}x{k}_{i}/pointwise_weights"],
+                strides=1, padding="SAME")
+            y = self.bn(f"{scope}/bn_sep_{k}x{k}_{i}", y)
+            stride = 1  # stride only on the first layer (:191-193)
+        return y
+
+    def fact_red(self, prefix, y, stride):
+        """factorized_reduction; `prefix` '' puts vars at the tree root
+        (the _reduce_prev_layer call site uses the bare cell scope)."""
+        pre = prefix + "/" if prefix else ""
+        if stride == 1:
+            return self.bn(pre + "path_bn", self.conv(pre + "path_conv", y))
+        path1 = tf.nn.avg_pool2d(y, 1, [1, stride, stride, 1], "VALID")
+        path1 = self.conv(pre + "path1_conv", path1)
+        # pad bottom/right then shift one pixel (:108-117)
+        path2 = tf.pad(y, [[0, 0], [0, 1], [0, 1], [0, 0]])[:, 1:, 1:, :]
+        path2 = tf.nn.avg_pool2d(path2, 1, [1, stride, stride, 1], "VALID")
+        path2 = self.conv(pre + "path2_conv", path2)
+        return self.bn(pre + "final_path_bn",
+                       tf.concat([path1, path2], axis=3))
+
+    def apply_op(self, scope, y, operation, filters, stride, from_original):
+        if stride > 1 and not from_original:
+            stride = 1  # :361-362
+        cin = int(y.shape[-1])
+        if "separable" in operation:
+            return self.sep_stack(scope, y, operation, stride)
+        if operation == "none":
+            if stride > 1 or cin != filters:
+                y = tf.nn.relu(y)
+                y = self.conv(scope + "/1x1", y, stride)
+                y = self.bn(scope + "/bn_1", y)
+            return y
+        assert "pool" in operation, operation
+        k = int(operation.split("_")[-1].split("x")[0])
+        pool = (tf.nn.avg_pool2d if operation.startswith("avg")
+                else tf.nn.max_pool2d)
+        y = pool(y, k, stride, "SAME")
+        if cin != filters:
+            y = self.bn(scope + "/bn_1", self.conv(scope + "/1x1", y))
+        return y
+
+    def cell(self, scope, program, net, prev, filters, stride):
+        ops, used, indices = program
+        # _reduce_prev_layer (:274-291): width mismatch -> factorized
+        # reduction (vars in the bare cell scope), channel mismatch ->
+        # prev_1x1 + prev_bn
+        if prev is None:
+            prev = net
+        elif int(net.shape[2]) != int(prev.shape[2]):
+            prev = self.fact_red(scope, tf.nn.relu(prev), 2)
+        elif filters != int(prev.shape[-1]):
+            prev = tf.nn.relu(prev)
+            prev = self.bn(scope + "/prev_bn",
+                           self.conv(scope + "/prev_1x1", prev))
+        h = tf.nn.relu(net)
+        h = self.bn(scope + "/beginning_bn", self.conv(scope + "/1x1", h))
+        states = [h, prev]
+        for it in range(5):
+            li, ri = indices[2 * it], indices[2 * it + 1]
+            h1 = self.apply_op(f"{scope}/comb_iter_{it}/left", states[li],
+                               ops[2 * it], filters, stride, li < 2)
+            h2 = self.apply_op(f"{scope}/comb_iter_{it}/right", states[ri],
+                               ops[2 * it + 1], filters, stride, ri < 2)
+            states.append(h1 + h2)
+        # _combine_unused_states (:397-425)
+        final_h, final_c = int(states[-1].shape[2]), int(states[-1].shape[-1])
+        outs = []
+        for idx, (s, is_used) in enumerate(zip(states, used)):
+            mismatch = (final_c != int(s.shape[-1])
+                        or final_h != int(s.shape[2]))
+            if mismatch and not is_used:
+                st = 2 if final_h != int(s.shape[2]) else 1
+                s = self.fact_red(f"{scope}/cell_output/reduction_{idx}",
+                                  s, st)
+            if not is_used:
+                outs.append(s)
+        return tf.concat(outs, axis=3)
+
+    def stem(self, x, stem_cell, num_filters, rate):
+        """_imagenet_stem (nasnet.py:252-278): VALID conv0 + two stride-2
+        stem cells at filter scalings 1/rate^2, 1/rate."""
+        net = self.bn("conv0_bn", self.conv("conv0", x, 2, "VALID"))
+        outputs = [None, net]
+        scaling = 1.0 / rate ** 2
+        for i in range(2):
+            net = self.cell(f"cell_stem_{i}", stem_cell, net, outputs[-2],
+                            int(num_filters * scaling), 2)
+            outputs.append(net)
+            scaling *= rate
+        return net, outputs
+
+    def nasnet_body(self, net, outputs, normal_cell, reduction_cell,
+                    num_filters, rate, reductions, skip_input, last_cell):
+        """_build_nasnet_base body loop (nasnet.py:517-560): explicit
+        Reduction cells interleaved at `reductions`; prev_layer read
+        BEFORE the reduction when skip_reduction_layer_input, AFTER its
+        append otherwise (so a post-reduction cell's prev is the last
+        pre-reduction normal cell — width mismatch -> factorized
+        reduction inside _reduce_prev_layer)."""
+        scaling = 1.0
+        prev = None
+        for cell_num in range(last_cell + 1):
+            if skip_input:
+                prev = outputs[-2]
+            if cell_num in reductions:
+                scaling *= rate
+                net = self.cell(
+                    f"reduction_cell_{reductions.index(cell_num)}",
+                    reduction_cell, net, outputs[-2],
+                    int(num_filters * scaling), 2)
+                outputs.append(net)
+            if not skip_input:
+                prev = outputs[-2]
+            net = self.cell(f"cell_{cell_num}", normal_cell, net, prev,
+                            int(num_filters * scaling), 1)
+            outputs.append(net)
+        return net
+
+    def pnas_body(self, net, outputs, normal_cell, num_filters, rate,
+                  reductions, last_cell):
+        """_build_pnasnet_base body (pnasnet.py:117-137): stride-2 NORMAL
+        cells at the reduction positions, prev always cell_outputs[-2]
+        (skip_reduction_layer_input=1 in both pnasnet configs)."""
+        scaling = 1.0
+        for cell_num in range(last_cell + 1):
+            is_red = cell_num in reductions
+            if is_red:
+                scaling *= rate
+            prev = outputs[-2]
+            net = self.cell(f"cell_{cell_num}", normal_cell, net, prev,
+                            int(num_filters * scaling), 2 if is_red else 1)
+            outputs.append(net)
+        return net
+
+
+class TestNasnetGolden:
+    def test_stem_through_first_reduction_matches_tf(self, rng):
+        """nasnet_mobile conv0 stem, both stride-2 Reduction stem cells,
+        normal cells 0-3, Reduction_Cell_0 (placed at index 4 by
+        calc_reduction_layers(12, 2)) and the post-reduction Cell_4 —
+        covering stacked separable convs (5x5/7x7/3x3), SAME avg/max
+        pools, 'none' with channel fixup, factorized reduction in BOTH
+        call sites (prev-layer and cell-output), the unused-state concat
+        order, the scaling *= rate ordering, and the
+        skip_reduction_layer_input=False prev selection (Cell_4's prev
+        is pre-reduction Cell_3 -> width-mismatch reduction)."""
+        from comic_tpu.models import nasnet
+
+        p = _randomize(nasnet.init_params(jax.random.PRNGKey(10),
+                                          "nasnet_mobile", image_size=64),
+                       rng, w_std=0.05)
+        x = (rng.normal(size=(2, 64, 64, 3)) * 0.5).astype(np.float32)
+
+        twin = _NasTwin(_flat(_np(p)))
+        net, outputs = twin.stem(x, nasnet.REDUCTION_CELL, 44, 2.0)
+        want = twin.nasnet_body(
+            net, outputs, nasnet.NORMAL_CELL, nasnet.REDUCTION_CELL, 44,
+            2.0, reductions=[4, 8], skip_input=False, last_cell=4).numpy()
+
+        _, ep = nasnet.apply(p, jnp.asarray(x), "nasnet_mobile",
+                             final_endpoint="Cell_4")
+        got = np.asarray(ep["Cell_4"])
+        assert got.shape == want.shape == (2, 4, 4, 88 * 6)
+        # NaNs would compare equal under assert_allclose — forbid them
+        # (a mis-randomized moving_variance once NaN-poisoned both sides)
+        assert np.isfinite(got).all() and np.isfinite(want).all()
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-3)
+
+
+class TestPnasnetGolden:
+    def test_stem_through_first_reduction_matches_tf(self, rng):
+        """pnasnet_mobile: PNAS Normal cells in the stem (stride 2) and
+        body, through the stride-2 reduction-position Cell_3
+        (calc_reduction_layers(9, 2) = [3, 6]) — filters 13 -> 27 -> 54
+        -> 108, prev always cell_outputs[-2]
+        (skip_reduction_layer_input=1, pnasnet.py:117-137)."""
+        from comic_tpu.models import nasnet
+
+        p = _randomize(nasnet.init_params(jax.random.PRNGKey(11),
+                                          "pnasnet_mobile", image_size=64),
+                       rng, w_std=0.05)
+        x = (rng.normal(size=(2, 64, 64, 3)) * 0.5).astype(np.float32)
+
+        twin = _NasTwin(_flat(_np(p)))
+        net, outputs = twin.stem(x, nasnet.PNAS_NORMAL_CELL, 54, 2.0)
+        want = twin.pnas_body(net, outputs, nasnet.PNAS_NORMAL_CELL, 54,
+                              2.0, reductions=[3, 6], last_cell=3).numpy()
+
+        _, ep = nasnet.apply(p, jnp.asarray(x), "pnasnet_mobile",
+                             final_endpoint="Cell_3")
+        got = np.asarray(ep["Cell_3"])
+        assert got.shape == want.shape == (2, 4, 4, 108 * 5)
+        assert np.isfinite(got).all() and np.isfinite(want).all()
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-3)
 
 
 class TestInceptionResnetV2Golden:
