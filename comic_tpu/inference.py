@@ -112,6 +112,19 @@ def make_serve_fn(spec, config: Config, steps: int, mesh=None,
         return top.ids, top.alignments
 
     if mesh is not None:
+        if jax.process_count() > 1:
+            # Inference is embarrassingly parallel across hosts (no
+            # cross-host collectives), but this serving path assumes a
+            # single process: feeding per-host numpy into a globally
+            # sharded jit is rejected by multi-process JAX, and the output
+            # ids of a cross-host mesh would not be host-addressable. Run
+            # inference as ONE single-process job per host (it still
+            # data-parallelizes over that host's local chips); split the
+            # checkpoint sweep across hosts if needed.
+            raise NotImplementedError(
+                "serving under multi-process jax.distributed is not "
+                "supported — launch inference as a single-process job per "
+                "host (its devices still run data-parallel).")
         from .parallel.mesh import batch_sharding, replicated
 
         return jax.jit(serve, in_shardings=(replicated(mesh),

@@ -423,15 +423,19 @@ def train_fn(config: Config, *, max_steps_override: Optional[int] = None,
                 keys = replicate(mesh, keys)
             state, metrics = multi_step(state, ims_k, cps_k, keys, widths)
             step += spc
-            n_since += sum(im.shape[0] for im in ims)
+            # examples/sec counts GLOBAL rows: each host's stack holds its
+            # local block, so scale by process count under multi-process
+            n_since += (sum(im.shape[0] for im in ims)
+                        * (jax.process_count() if multiproc else 1))
         else:
+            n_since += (images.shape[0]
+                        * (jax.process_count() if multiproc else 1))
             if multiproc:
                 images = global_batch(mesh, images)
                 caps = global_batch(mesh, caps)
                 sub = replicate(mesh, sub)
             state, metrics = train_step(state, images, caps, sub)
             step += 1
-            n_since += images.shape[0]
 
         if (step // log_every) != (prev_step // log_every) or step == max_step:
             m = {k: float(v) for k, v in metrics.items()}

@@ -83,6 +83,25 @@ class TestInferenceEndToEnd:
         assert raw["attention"][f0].ndim == 3  # (heads, T, fm)
         assert raw["captions"] and raw["image_ids"]
 
+    def test_run_inference_refuses_multiprocess(self, trained, monkeypatch):
+        """Multi-process inference must refuse loudly: per-host numpy into
+        a globally sharded serve jit is rejected by multi-process JAX, and
+        cross-host output ids would not be host-addressable. Guidance: one
+        single-process job per host (inference.py guard)."""
+        import jax
+
+        c, root = trained
+        config = load_config(c.log_path)
+        config.update(log_path=c.log_path, infer_set="test",
+                      batch_size_infer=2, infer_beam_size=1,
+                      infer_max_length=10)
+        from comic_tpu.training.checkpoints import list_checkpoints
+        name = list_checkpoints(c.log_path)[-1]
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(NotImplementedError, match="single-process"):
+            run_inference(config,
+                          os.path.join(c.log_path, name + ".msgpack"))
+
     def test_sweep_with_scoring(self, trained):
         c, root = trained
         config = load_config(c.log_path)
