@@ -72,6 +72,21 @@ def _ckpt_name(ckpt_path: str) -> str:
     return name
 
 
+def _refuse_multiprocess() -> None:
+    """Inference is embarrassingly parallel across hosts (no cross-host
+    collectives), but this serving path assumes a single process: feeding
+    per-host numpy into a globally sharded jit is rejected by multi-process
+    JAX, and the output ids of a cross-host mesh would not be
+    host-addressable. Must run BEFORE mesh construction / checkpoint load:
+    `make_mesh_for_batch` raises a confusing divisibility ValueError under
+    multi-process, and loading params before refusing wastes the host."""
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "serving under multi-process jax.distributed is not "
+            "supported — launch inference as a single-process job per "
+            "host (its devices still run data-parallel).")
+
+
 def make_serve_fn(spec, config: Config, steps: int, mesh=None,
                   collect_alignments: bool = True):
     """Build the jitted serving fn: (params, images_u8) -> (ids, alignments).
@@ -112,19 +127,7 @@ def make_serve_fn(spec, config: Config, steps: int, mesh=None,
         return top.ids, top.alignments
 
     if mesh is not None:
-        if jax.process_count() > 1:
-            # Inference is embarrassingly parallel across hosts (no
-            # cross-host collectives), but this serving path assumes a
-            # single process: feeding per-host numpy into a globally
-            # sharded jit is rejected by multi-process JAX, and the output
-            # ids of a cross-host mesh would not be host-addressable. Run
-            # inference as ONE single-process job per host (it still
-            # data-parallelizes over that host's local chips); split the
-            # checkpoint sweep across hosts if needed.
-            raise NotImplementedError(
-                "serving under multi-process jax.distributed is not "
-                "supported — launch inference as a single-process job per "
-                "host (its devices still run data-parallel).")
+        _refuse_multiprocess()  # defense in depth for direct callers
         from .parallel.mesh import batch_sharding, replicated
 
         return jax.jit(serve, in_shardings=(replicated(mesh),
@@ -144,6 +147,7 @@ def run_inference(config: Config, ckpt_path: str,
 
     Returns (save_dir, caption_json_path).
     """
+    _refuse_multiprocess()  # before ckpt load / mesh build (both would fail confusingly)
     vocab = Vocabulary.from_str_itow(config.wtoi, config.itow)
     spec = build_model_spec(config, vocab)
     params = init_params(jax.random.PRNGKey(0), spec)
@@ -295,6 +299,8 @@ def sweep_checkpoints(config: Config,
     (last 12 when more than 20 exist, infer.py:90-97), or an explicit
     comma-separated list of checkpoint numbers (`--infer_checkpoints`,
     infer.py:37-38,99-102)."""
+    if run_infer:
+        _refuse_multiprocess()  # refuse before any checkpoint/pipeline work
     if checkpoints and checkpoints != "all":
         nums = [s for s in str(checkpoints).split(",") if s]
         if not nums:
