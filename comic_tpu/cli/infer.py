@@ -44,6 +44,12 @@ def create_parser() -> argparse.ArgumentParser:
                    help="1 (default): stop decoding when every beam has "
                         "emitted EOS; 0: fixed-length decode (e.g. for "
                         "step-time profiling). Output-identical.")
+    p.add_argument("--packed_dataset", type=str, default="",
+                   help="Path to a packed HDF5 dataset (prepro "
+                        "serialise_everything). Images are served from the "
+                        "pack's pre-decoded array instead of per-file JPEG "
+                        "decode — the high-throughput host feed "
+                        "(tools/loader_bench.py for measured rates).")
     p.add_argument("--jar_dir", type=str, default="",
                    help="Directory with METEOR/SPICE/CoreNLP jars.")
     # type=int (0/1), NOT the reference-mirrored type=bool quirk above:
@@ -76,6 +82,8 @@ def main(argv=None):
     )
     if args.dataset_dir:
         config.dataset_dir = args.dataset_dir
+    if args.packed_dataset:
+        config.packed_dataset = args.packed_dataset
     # forced eval batch for the COCO server split (manager:64-80)
     if args.infer_set == "coco_valid":
         config.batch_size_infer = 61

@@ -143,6 +143,76 @@ class _ImageLoaderPool:
         return out
 
 
+class PackedImageSource:
+    """Fixed-shape uint8 images served from a packed HDF5 dataset.
+
+    The pack (`prepro/base.py serialise_everything`; reference
+    prepro_base.py:288-360) stores every image already decoded and
+    square-resized to the loader contract shape, so a batch read here is a
+    chunk-cache memcpy instead of a per-image JPEG decode + resize. This is
+    the documented high-throughput host feed for inference/eval: a real
+    v5e host must source thousands of images/s to keep the chip fed, and
+    JPEG decode is the dominant per-image cost (measured rates:
+    tools/loader_bench.py, BENCH host_loader fields).
+
+    Same `.load(paths)` contract as `_ImageLoaderPool`; rows are looked up
+    by the relative filepath recorded in the pack's caption lines, falling
+    back to basename (infer file lists may carry bare filenames).
+    """
+
+    def __init__(self, h5_path: str, mode: str = "square",
+                 tf1_exact: bool = False):
+        import os
+
+        import h5py
+
+        if mode != "square":
+            raise ValueError(
+                "packed_dataset images are square-resized at pack time; "
+                f"this config's encoder needs host resize mode '{mode}' "
+                "(vgg-family aspect preprocessing) — use the file loader.")
+        if tf1_exact:
+            raise ValueError(
+                "packed_dataset images were packed with the default host "
+                "bilinear; host_resize_tf1 would silently not apply — "
+                "unset it or use the file loader.")
+        self._f = h5py.File(h5_path, "r")
+        images = self._f["images"]
+        if images.shape[1:] != (RESIZE_SIZE, RESIZE_SIZE, 3):
+            raise ValueError(
+                f"packed images are {images.shape[1:]}, loader contract is "
+                f"({RESIZE_SIZE}, {RESIZE_SIZE}, 3) — repack with "
+                f"image_size=({RESIZE_SIZE}, {RESIZE_SIZE}).")
+        self._images = images
+        # filename -> row, from the '<row>,<filepath>,<caption>' lines
+        self._index: dict = {}
+        by_base: dict = {}
+        for split in ("train", "valid", "test"):
+            for line in self._f[split][:]:
+                line = line.decode() if isinstance(line, bytes) else line
+                row_s, fpath = line.split(",", 2)[:2]
+                self._index.setdefault(fpath, int(row_s))
+                by_base.setdefault(os.path.basename(fpath), int(row_s))
+        for k, v in by_base.items():
+            self._index.setdefault(k, v)
+
+    def load(self, paths: Sequence[str]) -> np.ndarray:
+        import os
+
+        out = np.empty((len(paths), RESIZE_SIZE, RESIZE_SIZE, 3), np.uint8)
+        for i, p in enumerate(paths):
+            row = self._index.get(p)
+            if row is None:
+                row = self._index.get(os.path.basename(p))
+            if row is None:
+                raise KeyError(f"{p!r} is not in the packed dataset")
+            self._images.read_direct(out, np.s_[row], np.s_[i])
+        return out
+
+    def close(self):
+        self._f.close()
+
+
 def _prefetch(gen: Iterator, depth: int) -> Iterator:
     """Run `gen` in a background thread with a bounded queue.
 
@@ -413,16 +483,25 @@ class InferencePipeline:
             raise ValueError(
                 f"Infer batch size {self.batch_size} must divide file "
                 f"count {len(files)}")
-        self.loader = _ImageLoaderPool(
-            num_workers, mode=host_resize_mode(config, False),
-            tf1_exact=bool(config.get("host_resize_tf1")))
+        packed = config.get("packed_dataset")
+        if packed:
+            self.loader = PackedImageSource(
+                packed, mode=host_resize_mode(config, False),
+                tf1_exact=bool(config.get("host_resize_tf1")))
+        else:
+            self.loader = _ImageLoaderPool(
+                num_workers, mode=host_resize_mode(config, False),
+                tf1_exact=bool(config.get("host_resize_tf1")))
+        self._join_dataset_dir = not packed  # packed rows key on rel paths
 
     def __iter__(self):
         def gen():
             for lo in range(0, len(self.files), self.batch_size):
                 chunk = self.files[lo: lo + self.batch_size]
-                paths = [cap_io.pjoin(self.config.dataset_dir, f)
-                         for f in chunk]
+                paths = (
+                    [cap_io.pjoin(self.config.dataset_dir, f)
+                     for f in chunk]
+                    if self._join_dataset_dir else chunk)
                 yield self.loader.load(paths), chunk
 
         return _prefetch(gen(), 4)

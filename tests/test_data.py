@@ -237,6 +237,52 @@ class TestPipelines:
         assert images.shape == (2, 256, 256, 3)
         assert files[0].startswith("images/")
 
+    def _pack_synth(self, root, vocab, tmp_path):
+        import os
+
+        from comic_tpu.prepro.base import serialise_everything
+
+        txt = {}
+        for split in ("train", "valid", "test"):
+            p = os.path.join(root, "captions", f"synth_{split}.txt")
+            with open(p) as f:
+                txt[split] = [ln.strip() for ln in f if ln.strip()]
+        return serialise_everything(
+            str(tmp_path / "packed"), root, (256, 256), 2, txt,
+            vocab.wtoi, vocab.itow)
+
+    def test_infer_pipeline_packed_matches_file_loader(self, synth,
+                                                       tmp_path):
+        """The packed-h5 image source yields byte-identical batches to the
+        per-file JPEG loader (both run decode_image_host + _resize_host;
+        the pack just does it at prepro time)."""
+        pytest.importorskip("h5py")
+        root, vocab = synth
+        h5_path = self._pack_synth(root, vocab, tmp_path)
+
+        c1 = self._config(root, infer_set="test")
+        c2 = self._config(root, infer_set="test", packed_dataset=h5_path)
+        for (im1, f1), (im2, f2) in zip(InferencePipeline(c1),
+                                        InferencePipeline(c2)):
+            assert list(f1) == list(f2)
+            np.testing.assert_array_equal(im1, im2)
+
+    def test_packed_refuses_aspect_and_tf1(self, synth, tmp_path):
+        """Packed images are square-resized at pack time: a vgg-family
+        (aspect-preserving) config or host_resize_tf1 would silently get
+        different pixels — both must refuse."""
+        pytest.importorskip("h5py")
+        root, vocab = synth
+        h5_path = self._pack_synth(root, vocab, tmp_path)
+        c = self._config(root, infer_set="test", packed_dataset=h5_path,
+                         cnn_name="vgg_16")
+        with pytest.raises(ValueError, match="aspect|square"):
+            InferencePipeline(c)
+        c = self._config(root, infer_set="test", packed_dataset=h5_path,
+                         host_resize_tf1=True)
+        with pytest.raises(ValueError, match="host_resize_tf1"):
+            InferencePipeline(c)
+
 
 class TestHostResize:
     def test_tf1_np_matches_tf(self, rng):
