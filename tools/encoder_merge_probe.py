@@ -43,7 +43,7 @@ def main():
 
     config, spec, params = _flagship()
     h, w = config.cnn_input_size
-    enc_p = params["encoder"]
+    enc_p = params["encoder"]["cnn"]
     dtype = spec.compute_dtype
     batch = 128
     rng = np.random.default_rng(0)
@@ -111,9 +111,16 @@ def main():
     rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
     print(f"max rel diff baseline vs merged: {rel:.3e}", flush=True)
 
-    ms_a = _pipelined_ms(jax.jit(baseline), (enc_p, images_u8), iters=40,
+    # Time scalar-reduced variants: syncing the raw (128,14,14,832) f32
+    # fmap ships 83 MB over the ~40 MB/s tunnel and queues 40 such
+    # buffers, which swamps the ~6 ms of compute (first run measured
+    # 181 ms/iter on BOTH legs' raw-output form). The sum keeps every
+    # conv live and costs one fused reduction.
+    base_s = lambda p, x: baseline(p, x).astype(jnp.float32).sum()
+    merged_s = lambda p, x: merged(p, x).astype(jnp.float32).sum()
+    ms_a = _pipelined_ms(jax.jit(base_s), (enc_p, images_u8), iters=40,
                          sync=sync)
-    ms_b = _pipelined_ms(jax.jit(merged), (enc_p, images_u8), iters=40,
+    ms_b = _pipelined_ms(jax.jit(merged_s), (enc_p, images_u8), iters=40,
                          sync=sync)
     print(f"baseline    {ms_a:7.3f} ms")
     print(f"merged_1x1  {ms_b:7.3f} ms   ({ms_a / ms_b:.3f}x)")
