@@ -143,10 +143,15 @@ def _res_block_init(key, table, cin) -> Params:
 
 
 def _res_block_apply(p, table, x, scale, dtype=None, relu=True):
+    # every branch in the _BLOCK* tables starts with a 1x1 conv over x;
+    # they are merged into one MXU-filling conv (see
+    # layers.merged_1x1_bn_relu for the exactness argument)
+    firsts = layers.merged_1x1_bn_relu(
+        [p[bname][convs[0][0]] for bname, convs in table], x, BN_EPS,
+        dtype)
     branches = []
-    for bname, convs in table:
-        y = x
-        for cname, _, _, _ in convs:
+    for (bname, convs), y in zip(table, firsts):
+        for cname, _, _, _ in convs[1:]:
             y = _conv_bn_relu(p[bname][cname], y, dtype=dtype)
         branches.append(y)
     mixed = jnp.concatenate(branches, axis=3)
@@ -255,12 +260,12 @@ def apply(params: Params, images: jnp.ndarray,
     if done("MaxPool_5a_3x3", net):
         return net, ep
 
-    # Mixed_5b
+    # Mixed_5b (input-side 1x1s merged — layers.merged_1x1_bn_relu)
     p = params["Mixed_5b"]
-    b0 = _conv_bn_relu(p["Branch_0"]["Conv2d_1x1"], net, dtype=dtype)
-    b1 = _conv_bn_relu(p["Branch_1"]["Conv2d_0a_1x1"], net, dtype=dtype)
+    b0, b1, b2 = layers.merged_1x1_bn_relu(
+        [p["Branch_0"]["Conv2d_1x1"], p["Branch_1"]["Conv2d_0a_1x1"],
+         p["Branch_2"]["Conv2d_0a_1x1"]], net, BN_EPS, dtype)
     b1 = _conv_bn_relu(p["Branch_1"]["Conv2d_0b_5x5"], b1, dtype=dtype)
-    b2 = _conv_bn_relu(p["Branch_2"]["Conv2d_0a_1x1"], net, dtype=dtype)
     b2 = _conv_bn_relu(p["Branch_2"]["Conv2d_0b_3x3"], b2, dtype=dtype)
     b2 = _conv_bn_relu(p["Branch_2"]["Conv2d_0c_3x3"], b2, dtype=dtype)
     b3 = _avg_pool_same(net, 3)
@@ -291,13 +296,13 @@ def apply(params: Params, images: jnp.ndarray,
     if done("PreAuxLogits", net):
         return net, ep
 
-    # Mixed_7a
+    # Mixed_7a (input-side 1x1s merged — layers.merged_1x1_bn_relu)
     p = params["Mixed_7a"]
-    b0 = _conv_bn_relu(p["Branch_0"]["Conv2d_0a_1x1"], net, dtype=dtype)
+    b0, b1, b2 = layers.merged_1x1_bn_relu(
+        [p["Branch_0"]["Conv2d_0a_1x1"], p["Branch_1"]["Conv2d_0a_1x1"],
+         p["Branch_2"]["Conv2d_0a_1x1"]], net, BN_EPS, dtype)
     b0 = _conv_bn_relu(p["Branch_0"]["Conv2d_1a_3x3"], b0, 2, "VALID", dtype)
-    b1 = _conv_bn_relu(p["Branch_1"]["Conv2d_0a_1x1"], net, dtype=dtype)
     b1 = _conv_bn_relu(p["Branch_1"]["Conv2d_1a_3x3"], b1, 2, "VALID", dtype)
-    b2 = _conv_bn_relu(p["Branch_2"]["Conv2d_0a_1x1"], net, dtype=dtype)
     b2 = _conv_bn_relu(p["Branch_2"]["Conv2d_0b_3x3"], b2, dtype=dtype)
     b2 = _conv_bn_relu(p["Branch_2"]["Conv2d_1a_3x3"], b2, 2, "VALID", dtype)
     b3 = _max_pool(net, 3, 2, "VALID")

@@ -141,38 +141,15 @@ def _max_pool(x: jnp.ndarray, k: int, stride: int,
 
 
 def _mixed_block(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    """Inception mixed block with the three input-side 1x1 convs merged.
-
-    Branch_0, Branch_1-reduce and Branch_2-reduce are independent 1x1
-    convs over the SAME input, so they are exactly one conv with
-    concatenated output channels (each output channel is an independent
-    dot over the same input window; the frozen per-channel BN affine
-    concatenates along). XLA does not horizontally fuse independent
-    convs, and the small per-branch output counts (16-384) pad the MXU
-    lanes — the merged conv fills them. Measured on the flagship
-    encoder at the b128 serving batch (tools/encoder_merge_probe.py):
-    5.162 -> 4.653 ms end-to-end (1.109x). Exact in f32 (max rel diff
-    1.1e-6 vs per-branch convs); bf16 differs only in rounding order
-    (~5e-3 max rel). The weight concat happens in-graph so the param
-    tree, checkpoints and the slim converter are untouched.
+    """Inception mixed block with the three input-side 1x1 convs
+    (Branch_0, Branch_1/2 reduces) merged into one MXU-filling conv —
+    see layers.merged_1x1_bn_relu for the exactness argument and the
+    measured 1.109x encoder win (tools/encoder_merge_probe.py).
     Reference: slim inception_v1 Mixed blocks (inception_v1.py:96-563).
     """
-    p0 = p["Branch_0"]["Conv2d_0a_1x1"]
-    p1 = p["Branch_1"]["Conv2d_0a_1x1"]
-    p2 = p["Branch_2"]["Conv2d_0a_1x1"]
-    parts = (p0, p1, p2)
-    w = jnp.concatenate([q["weights"] for q in parts], axis=3)
-    xin = x if dtype is None else x.astype(dtype)
-    y = jax.lax.conv_general_dilated(
-        xin, w.astype(xin.dtype), window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
-    mean = jnp.concatenate([q["BatchNorm"]["moving_mean"] for q in parts])
-    var = jnp.concatenate([q["BatchNorm"]["moving_variance"] for q in parts])
-    beta = jnp.concatenate([q["BatchNorm"]["beta"] for q in parts])
-    y = jax.nn.relu((y - mean) * jax.lax.rsqrt(var + BN_EPS) + beta)
-    n0 = p0["weights"].shape[3]
-    n1 = n0 + p1["weights"].shape[3]
-    b0, b1, b2 = y[..., :n0], y[..., n0:n1], y[..., n1:]
+    b0, b1, b2 = layers.merged_1x1_bn_relu(
+        [p["Branch_0"]["Conv2d_0a_1x1"], p["Branch_1"]["Conv2d_0a_1x1"],
+         p["Branch_2"]["Conv2d_0a_1x1"]], x, BN_EPS, dtype)
     b1 = _conv_bn_relu(p["Branch_1"]["Conv2d_0b_3x3"], b1, 1, dtype)
     b2 = _conv_bn_relu(p["Branch_2"]["Conv2d_0b_3x3"], b2, 1, dtype)
     b3 = _max_pool(x, 3, 1)

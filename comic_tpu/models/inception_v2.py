@@ -85,11 +85,16 @@ def init_params(key) -> Params:
     params["Conv2d_2b_1x1"] = _ck(ka, 1, 1, 64, 64)
     params["Conv2d_2c_3x3"] = _ck(kb, 3, 3, 64, 192)
     cin = 192
-    for name in _ORDER:
+    for block_i, name in enumerate(_ORDER):
         block: Params = {}
+        # fold in the block INDEX, not hash(name): Python string hashing
+        # is randomized per process (PYTHONHASHSEED), which silently made
+        # the same PRNGKey yield different mixed-block params in every
+        # process/run
+        bkey = jax.random.fold_in(key, block_i)
         if name in _REDUCE:
             (r0a, r0b), (r1a, r1b) = _REDUCE[name]
-            ks = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31), 4)
+            ks = jax.random.split(bkey, 4)
             block["Branch_0"] = {
                 "Conv2d_0a_1x1": _ck(ks[0], 1, 1, cin, r0a),
                 "Conv2d_1a_3x3": _ck(ks[1], 3, 3, r0a, r0b)}
@@ -101,7 +106,7 @@ def init_params(key) -> Params:
             cout = r0b + r1b + cin
         else:
             b0, (b1a, b1b), (b2a, b2b), (pk, b3) = _STD[name]
-            ks = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31), 6)
+            ks = jax.random.split(bkey, 6)
             block["Branch_0"] = {"Conv2d_0a_1x1": _ck(ks[0], 1, 1, cin, b0)}
             block["Branch_1"] = {
                 "Conv2d_0a_1x1": _ck(ks[1], 1, 1, cin, b1a),
@@ -155,20 +160,25 @@ def apply(params: Params, images: jnp.ndarray,
 
     for name in _ORDER:
         block = params[name]
+        # input-side 1x1 convs merged into one MXU-filling conv; see
+        # layers.merged_1x1_bn_relu for the exactness argument and the
+        # measured win (tools/encoder_merge_probe.py)
         if name in _REDUCE:
-            b0 = _conv_bn_relu(block["Branch_0"]["Conv2d_0a_1x1"], net, 1, dtype)
+            b0, b1 = layers.merged_1x1_bn_relu(
+                [block["Branch_0"]["Conv2d_0a_1x1"],
+                 block["Branch_1"]["Conv2d_0a_1x1"]], net, BN_EPS, dtype)
             b0 = _conv_bn_relu(block["Branch_0"]["Conv2d_1a_3x3"], b0, 2, dtype)
-            b1 = _conv_bn_relu(block["Branch_1"]["Conv2d_0a_1x1"], net, 1, dtype)
             b1 = _conv_bn_relu(block["Branch_1"]["Conv2d_0b_3x3"], b1, 1, dtype)
             b1 = _conv_bn_relu(block["Branch_1"]["Conv2d_1a_3x3"], b1, 2, dtype)
             b2 = _max_pool(net, 3, 2)
             net = jnp.concatenate([b0, b1, b2], axis=3)
         else:
             pk = _STD[name][3][0]
-            b0 = _conv_bn_relu(block["Branch_0"]["Conv2d_0a_1x1"], net, 1, dtype)
-            b1 = _conv_bn_relu(block["Branch_1"]["Conv2d_0a_1x1"], net, 1, dtype)
+            b0, b1, b2 = layers.merged_1x1_bn_relu(
+                [block["Branch_0"]["Conv2d_0a_1x1"],
+                 block["Branch_1"]["Conv2d_0a_1x1"],
+                 block["Branch_2"]["Conv2d_0a_1x1"]], net, BN_EPS, dtype)
             b1 = _conv_bn_relu(block["Branch_1"]["Conv2d_0b_3x3"], b1, 1, dtype)
-            b2 = _conv_bn_relu(block["Branch_2"]["Conv2d_0a_1x1"], net, 1, dtype)
             b2 = _conv_bn_relu(block["Branch_2"]["Conv2d_0b_3x3"], b2, 1, dtype)
             b2 = _conv_bn_relu(block["Branch_2"]["Conv2d_0c_3x3"], b2, 1, dtype)
             b3 = (_avg_pool(net, 3, 1) if pk == "avg" else _max_pool(net, 3, 1))

@@ -17,7 +17,7 @@ from typing import Any, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
-from .inception_v3 import _conv, _conv_init_hw, _pool
+from .inception_v3 import _conv, _conv_init_hw, apply_mixed_block
 
 Params = Dict[str, Any]
 
@@ -163,25 +163,7 @@ def apply(params: Params, images: jnp.ndarray,
         if name == final_endpoint:
             return net, end_points
     for name, branches in _blocks():
-        outs = []
-        for bi, ops in enumerate(branches):
-            bp = params[name][f"Branch_{bi}"]
-            y = net
-            for op in ops:
-                if op[0] == "conv":
-                    _, scope, cout, kh_kw, stride, padding = op
-                    y = _conv(bp[scope], y, kh_kw, stride, padding, dtype)
-                elif op[0] == "fanout":
-                    parts = [
-                        _conv(bp[s[1]], y, s[3], s[4], s[5], dtype)
-                        for s in op[1]
-                    ]
-                    y = jnp.concatenate(parts, axis=3)
-                else:
-                    kind, scope, k, stride, padding = op
-                    y = _pool(y, k, stride, padding, kind)
-            outs.append(y)
-        net = jnp.concatenate(outs, axis=3)
+        net = apply_mixed_block(params[name], branches, net, dtype)
         end_points[name] = net
         if name == final_endpoint:
             return net, end_points

@@ -49,6 +49,47 @@ def slim_variance_scaling(key, shape, fan: int, dtype=jnp.float32):
     return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
 
 
+def merged_1x1_bn_relu(parts, x, eps, dtype=None):
+    """Run N independent (1x1, stride-1, SAME) conv + frozen-BN + relu
+    branches over the SAME input as ONE conv with concatenated output
+    channels, returning the per-branch outputs.
+
+    Each output channel of a 1x1 conv is an independent dot over the same
+    input window, so concatenating the branch kernels along the output
+    axis computes exactly the per-branch convs (the frozen per-channel BN
+    affines concatenate along). XLA does not horizontally fuse independent
+    convs, and the small per-branch output counts (16-384 across the
+    inception family) pad the MXU lanes — the merged conv fills them.
+    Measured on the flagship inception_v1 encoder at the b128 serving
+    batch (tools/encoder_merge_probe.py): 5.162 -> 4.653 ms end-to-end
+    (1.109x). Exact in f32 (max rel diff 1.1e-6 vs per-branch convs);
+    bf16 differs only in rounding order (~5e-3 max rel).
+
+    `parts` are conv param dicts ({"weights", "BatchNorm"}) whose kernels
+    must all be 1x1; shared by the inception v1/v2/v3/v4 mixed blocks and
+    the inception_resnet_v2 residual blocks. The merge is in-graph only:
+    param trees, checkpoints and the slim converter are untouched.
+    """
+    for q in parts:
+        assert q["weights"].shape[:2] == (1, 1), q["weights"].shape
+    w = jnp.concatenate([q["weights"] for q in parts], axis=3)
+    xin = x if dtype is None else x.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        xin, w.astype(xin.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
+    mean = jnp.concatenate([q["BatchNorm"]["moving_mean"] for q in parts])
+    var = jnp.concatenate(
+        [q["BatchNorm"]["moving_variance"] for q in parts])
+    beta = jnp.concatenate([q["BatchNorm"]["beta"] for q in parts])
+    y = jax.nn.relu((y - mean) * jax.lax.rsqrt(var + eps) + beta)
+    outs, c0 = [], 0
+    for q in parts:
+        c1 = c0 + q["weights"].shape[3]
+        outs.append(y[..., c0:c1])
+        c0 = c1
+    return outs
+
+
 def avg_pool_same(x, k: int, stride: int = 1, padding: str = "SAME"):
     """tf.nn.avg_pool semantics: edge windows divide by the number of
     IN-BOUNDS elements (count normalization), unlike a plain mean over

@@ -357,3 +357,57 @@ class TestNasNet:
                                 "nasnet_mobile", "Cell_7")
         assert emb.shape == (1, 1056)
         assert fm.shape == (1, 196, 528)
+
+
+class TestMerged1x1:
+    """layers.merged_1x1_bn_relu vs independent per-branch convs.
+
+    The merge claims exactness (each merged output channel is the same
+    dot as its per-branch original; frozen BN affines concatenate
+    along) — checked here against a plain per-part conv+BN+relu loop
+    in f32 and bf16. Integration through the real encoders is covered
+    by the composed TF goldens (inception v1 full, v2/v3/v4 slices)
+    and the before/after equivalence run recorded in STATUS.md.
+    """
+
+    def _parts(self, rng, cin, couts):
+        parts = []
+        for cout in couts:
+            parts.append({
+                "weights": jnp.asarray(
+                    rng.normal(size=(1, 1, cin, cout)).astype("float32")),
+                "BatchNorm": {
+                    "moving_mean": jnp.asarray(
+                        rng.normal(size=(cout,)).astype("float32")),
+                    "moving_variance": jnp.asarray(
+                        rng.uniform(0.5, 2.0, (cout,)).astype("float32")),
+                    "beta": jnp.asarray(
+                        rng.normal(size=(cout,)).astype("float32")),
+                }})
+        return parts
+
+    @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+    def test_matches_per_branch(self, dtype):
+        import numpy as np
+        from comic_tpu.models import layers
+
+        rng = np.random.default_rng(0)
+        eps = 1e-3
+        x = jnp.asarray(rng.normal(size=(2, 7, 7, 13)).astype("float32"))
+        parts = self._parts(rng, 13, (3, 5, 8))
+        got = layers.merged_1x1_bn_relu(parts, x, eps, dtype)
+        assert [g.shape[-1] for g in got] == [3, 5, 8]
+        for q, g in zip(parts, got):
+            w = q["weights"]
+            xin = x if dtype is None else x.astype(dtype)
+            y = jax.lax.conv_general_dilated(
+                xin, w.astype(xin.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ).astype(jnp.float32)
+            bn = q["BatchNorm"]
+            want = jax.nn.relu(
+                (y - bn["moving_mean"])
+                * jax.lax.rsqrt(bn["moving_variance"] + eps) + bn["beta"])
+            tol = 1e-6 if dtype is None else 5e-2
+            np.testing.assert_allclose(np.asarray(g), np.asarray(want),
+                                       rtol=tol, atol=tol)
