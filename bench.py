@@ -291,10 +291,9 @@ def bench_vpu_peak(config, spec, params, beam):
     memory = precompute(p_attn_tree, acfg, fmaps,
                         dtype=spec.compute_dtype)
     pq0 = jnp.asarray(rng.standard_normal((batch, beam, u)), jnp.float32)
-    p_attn = params["decoder"]["attention"]
 
     def fastln_body(pq, _):
-        score = _add_ln_scores_fast(p_attn, acfg, memory,
+        score = _add_ln_scores_fast(p_attn_tree, acfg, memory,
                                     pq.astype(memory.keys.dtype))
         # serialize steps through a trivially small feedback term
         fb = jnp.sum(score, axis=(2, 3)) * 1e-6  # (B, K)
@@ -737,7 +736,8 @@ def bench_host_loader(target_cps):
     try:
         out = subprocess.run(
             [sys.executable, tool, str(target_cps)], capture_output=True,
-            text=True, timeout=600, check=True).stdout.strip()
+            text=True, timeout=600, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout.strip()
         data = json.loads(out.splitlines()[-1])
     except Exception as e:
         print(f"host loader bench failed: {e}", file=sys.stderr)

@@ -142,6 +142,16 @@ class _ImageLoaderPool:
             f.result()
         return out
 
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
+
+# basename-index poison marker: a bare-filename lookup that could refer to
+# more than one packed image must fail loudly (see PackedImageSource)
+_AMBIGUOUS = object()
+
 
 class PackedImageSource:
     """Fixed-shape uint8 images served from a packed HDF5 dataset.
@@ -184,7 +194,11 @@ class PackedImageSource:
                 f"({RESIZE_SIZE}, {RESIZE_SIZE}, 3) — repack with "
                 f"image_size=({RESIZE_SIZE}, {RESIZE_SIZE}).")
         self._images = images
-        # filename -> row, from the '<row>,<filepath>,<caption>' lines
+        # filename -> row, from the '<row>,<filepath>,<caption>' lines.
+        # The basename fallback (infer file lists may carry bare
+        # filenames) is poisoned on collision: two packed paths sharing a
+        # basename (e.g. train2014/x.jpg + val2014/x.jpg) must not let a
+        # bare-name lookup silently serve the wrong image.
         self._index: dict = {}
         by_base: dict = {}
         for split in ("train", "valid", "test"):
@@ -192,7 +206,11 @@ class PackedImageSource:
                 line = line.decode() if isinstance(line, bytes) else line
                 row_s, fpath = line.split(",", 2)[:2]
                 self._index.setdefault(fpath, int(row_s))
-                by_base.setdefault(os.path.basename(fpath), int(row_s))
+                base = os.path.basename(fpath)
+                row = int(row_s)
+                if by_base.setdefault(base, row) != row \
+                        and by_base[base] is not _AMBIGUOUS:
+                    by_base[base] = _AMBIGUOUS
         for k, v in by_base.items():
             self._index.setdefault(k, v)
 
@@ -206,6 +224,11 @@ class PackedImageSource:
                 row = self._index.get(os.path.basename(p))
             if row is None:
                 raise KeyError(f"{p!r} is not in the packed dataset")
+            if row is _AMBIGUOUS:
+                raise KeyError(
+                    f"{p!r} matches multiple packed images by basename — "
+                    "pass the relative filepath recorded in the pack's "
+                    "caption lines instead.")
             self._images.read_direct(out, np.s_[row], np.s_[i])
         return out
 
@@ -508,3 +531,9 @@ class InferencePipeline:
 
     def __len__(self):
         return len(self.files) // self.batch_size
+
+    def close(self):
+        """Release the loader (h5 file handle / thread pool). A long
+        checkpoint sweep builds one pipeline and must not pin the pack
+        or leak descriptors across repeated constructions."""
+        self.loader.close()

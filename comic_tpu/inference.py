@@ -153,6 +153,7 @@ def run_inference(config: Config, ckpt_path: str,
     params = init_params(jax.random.PRNGKey(0), spec)
     params = ckpt.load_compact(ckpt_path, params)
 
+    own_pipe = pipe is None
     pipe = pipe or InferencePipeline(config)
     steps = max_decode_steps(config, vocab)
     if serve is None:
@@ -244,6 +245,8 @@ def run_inference(config: Config, ckpt_path: str,
     if save_attention and raw_outputs["captions"]:
         with open(pjoin(save_dir, f"outputs___{ckpt_name}.pkl"), "wb") as f:
             pickle.dump(raw_outputs, f, pickle.HIGHEST_PROTOCOL)
+    if own_pipe:
+        pipe.close()  # callers who pass a pipe own its lifetime
     return save_dir, json_path
 
 
@@ -326,30 +329,35 @@ def sweep_checkpoints(config: Config,
             collect_alignments=save_attention)
         pipe = InferencePipeline(config)
     results = {}
-    for name in names:
-        # suffixless: load_compact resolves msgpack/orbax/TF on disk
-        path = pjoin(config.log_path, name)
-        json_done = os.path.exists(
-            pjoin(config.log_path, infer_dir_name(config),
-                  f"captions___{name}.json"))
-        if run_infer and not json_done:
-            try:
-                # one pruned/mistyped --infer_checkpoints number shouldn't
-                # throw away the checkpoints already evaluated — but ONLY
-                # checkpoint resolution is forgiven; dataset/annotation
-                # errors inside evaluate_model must propagate (the
-                # reference existence-checks just the ckpt .index,
-                # infer.py:92-97)
-                ckpt._resolve(path, ckpt.COMPACT_PREFIX)
-            except FileNotFoundError as e:
-                print(f"WARNING: skipping {name}: {e}")
-                continue
-        scores = evaluate_model(config, path, annotations_file, jar_dir,
-                                serve=serve, pipe=pipe,
-                                run_infer=run_infer,
-                                get_metric_score=get_metric_score,
-                                save_attention=save_attention,
-                                require_ptb_jar=require_ptb_jar)
-        if scores is not None:
-            results[name] = scores
+    try:
+        for name in names:
+            # suffixless: load_compact resolves msgpack/orbax/TF on disk
+            path = pjoin(config.log_path, name)
+            json_done = os.path.exists(
+                pjoin(config.log_path, infer_dir_name(config),
+                      f"captions___{name}.json"))
+            if run_infer and not json_done:
+                try:
+                    # one pruned/mistyped --infer_checkpoints number
+                    # shouldn't throw away the checkpoints already
+                    # evaluated — but ONLY checkpoint resolution is
+                    # forgiven; dataset/annotation errors inside
+                    # evaluate_model must propagate (the reference
+                    # existence-checks just the ckpt .index,
+                    # infer.py:92-97)
+                    ckpt._resolve(path, ckpt.COMPACT_PREFIX)
+                except FileNotFoundError as e:
+                    print(f"WARNING: skipping {name}: {e}")
+                    continue
+            scores = evaluate_model(config, path, annotations_file,
+                                    jar_dir, serve=serve, pipe=pipe,
+                                    run_infer=run_infer,
+                                    get_metric_score=get_metric_score,
+                                    save_attention=save_attention,
+                                    require_ptb_jar=require_ptb_jar)
+            if scores is not None:
+                results[name] = scores
+    finally:
+        if pipe is not None:
+            pipe.close()
     return results

@@ -219,15 +219,24 @@ def _apply_branch_ops(bp, y, ops, dtype):
     return y
 
 
-def apply_mixed_block(block_params: Params, branches, net, dtype):
-    """Apply one table-driven inception mixed block, merging the
-    input-side 1x1 convs of every branch that starts with one into a
-    single MXU-filling conv (see layers.merged_1x1_bn_relu for the
-    exactness argument and the measured win). Shared by inception v3
-    and v4 (slim inception_v3.py:108-494, inception_v4.py:47-225)."""
+def apply_mixed_block(block_params: Params, branches, net, dtype,
+                      merge_1x1: bool = False):
+    """Apply one table-driven inception mixed block. Shared by inception
+    v3 and v4 (slim inception_v3.py:108-494, inception_v4.py:47-225).
+
+    merge_1x1=True fuses the input-side 1x1 convs of every branch that
+    starts with one into a single conv (layers.merged_1x1_bn_relu).
+    MEASURED NEGATIVE for v3/v4 and left OFF here: best-of-2 on the real
+    chip (tools/merge_zoo_probe.py, b64 bf16) reads v3 12.92 -> 13.44 ms
+    (0.96x) and v4 21.22 -> 21.61 ms (0.98x) merged — their wide
+    factorized tails (7x1/1x7 fanouts) already fill the MXU and the
+    merge's extra split/concat costs more than the lane padding it
+    saves. The same transform WINS on v1 (1.109x), v2 (1.06-1.08x) and
+    inception_resnet_v2 (1.14x), where it stays on."""
     merge = [bi for bi, ops in enumerate(branches)
              if ops[0][0] == "conv" and ops[0][3] == (1, 1)
-             and ops[0][4] == 1 and ops[0][5] == "SAME"]
+             and ops[0][4] == 1 and ops[0][5] == "SAME"] if merge_1x1 \
+        else []
     firsts = {}
     if len(merge) >= 2:
         parts = [block_params[f"Branch_{bi}"][branches[bi][0][1]]

@@ -283,6 +283,37 @@ class TestPipelines:
         with pytest.raises(ValueError, match="host_resize_tf1"):
             InferencePipeline(c)
 
+    def test_packed_basename_collision_refuses_bare_lookup(self, synth,
+                                                           tmp_path):
+        """Two packed filepaths sharing a basename (train2014/x.jpg +
+        val2014/x.jpg) must poison the bare-filename fallback: serving
+        whichever row happened to be indexed first would silently caption
+        the wrong image. Full relative paths still resolve."""
+        h5py = pytest.importorskip("h5py")
+        from comic_tpu.data.pipeline import PackedImageSource
+        root, vocab = synth
+        h5_path = self._pack_synth(root, vocab, tmp_path)
+        with h5py.File(h5_path, "r+") as f:
+            lines = [ln.decode() if isinstance(ln, bytes) else ln
+                     for ln in f["test"][:]]
+            row0, path0 = lines[0].split(",", 2)[:2]
+            row1 = next(ln.split(",", 2)[0] for ln in lines
+                        if ln.split(",", 2)[0] != row0)
+            base = path0.rsplit("/", 1)[-1]
+            clash = f"{row1},other_dir/{base},a clashing caption"
+            del f["test"]
+            f.create_dataset(
+                "test", data=np.asarray(lines + [clash], dtype=object),
+                dtype=h5py.string_dtype())
+        src = PackedImageSource(h5_path)
+        try:
+            # full relative paths remain unambiguous
+            assert src.load([path0]).shape == (1, 256, 256, 3)
+            with pytest.raises(KeyError, match="multiple packed images"):
+                src.load([base])
+        finally:
+            src.close()
+
 
 class TestHostResize:
     def test_tf1_np_matches_tf(self, rng):

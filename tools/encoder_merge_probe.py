@@ -21,11 +21,16 @@ negative result here (like tools/stem_probe.py / int8_encoder_probe.py).
 Run: python tools/encoder_merge_probe.py
 
 Measured 2026-08-19 (TPU v5e via axon tunnel, b128, bf16, 224x224):
-    see docstring update after run.
+    baseline (per-branch) 5.162 ms   merged_1x1 4.653 ms   1.109x
+    max rel diff 1.1e-6 (f32 exact; bf16 rounding-order ~5e-3)
+ADOPTED: models/inception_v1._mixed_block now uses the merged form
+(layers.merged_1x1_bn_relu), so re-running this probe measures
+production-vs-merged = ~1.0x; the per-branch A-leg of record lives in
+tools/merge_zoo_probe.py, which swaps the helper back to a per-branch
+loop and covers inception v2/v3/v4 + inception_resnet_v2 as well.
 """
 
 import sys
-import time
 
 import numpy as np
 

@@ -35,7 +35,10 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+# repo root by file location — this tool is also run as a bench.py
+# subprocess, whose cwd must not matter
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def make_jpegs(root: str, n: int = 96, h: int = 480, w: int = 640):
