@@ -209,7 +209,7 @@ def bench_serving_realistic(config, serve_spec, params, beam,
     return cps, ms
 
 
-def _slope_us_per_step(build, lengths=(16, 64), iters=20):
+def _slope_us_per_step(build, lengths=(16, 112), iters=20, rounds=4):
     """Per-step cost of a scanned body via two-point slope.
 
     `build(S)` returns (jitted_fn, args) running S serialized body
@@ -217,12 +217,19 @@ def _slope_us_per_step(build, lengths=(16, 64), iters=20):
     (ms2-ms1)/(S2-S1) cancels the constant dispatch + program-invariant
     overhead exactly — required on this tunneled backend where the
     per-dispatch floor (~3.8 ms) would otherwise swamp a ~100 us op
-    (CLAUDE.md perf notes)."""
+    (CLAUDE.md perf notes).
+
+    Noise control: tunnel latency jitter only ever INFLATES a leg, so
+    each leg takes the min over `rounds` measurement rounds, and the
+    96-step length delta divides what residue survives (the original
+    (16, 64)/2-round setting measured the production score chain
+    anywhere in 121-163 us/step across bench runs — ±40 us/step slope
+    noise exactly as predicted by ±2 ms/leg on a 48-step delta)."""
     s1, s2 = lengths
     ms = {}
     for s in lengths:
         fn, args = build(s)
-        ms[s] = _pipelined_ms(fn, args, iters=iters,
+        ms[s] = _pipelined_ms(fn, args, iters=iters, rounds=rounds,
                               sync=lambda o: np.asarray(o))
     return (ms[s2] - ms[s1]) * 1e3 / (s2 - s1)
 
