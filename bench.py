@@ -55,6 +55,34 @@ def real_vocab():
     return Vocabulary(wtoi)
 
 
+def _make_serve(config, spec, steps, lpen=None):
+    """The production serving program (preprocess -> beam-3 search, no
+    attention maps, early-exit while_loop) — the single source for every
+    serving bench leg, so they all measure the same program modulo
+    (spec, steps, length_penalty). With the unreachable-EOS serve_spec
+    the early-exit loop runs all `steps` iterations (the honest
+    worst case, incl. its ~0.9% overhead vs a fixed scan)."""
+    import jax
+
+    from comic_tpu.data.preprocessing import preprocess_batch
+    from comic_tpu.decoding import beam_search
+
+    h, w = config.cnn_input_size
+    beam = int(config.infer_beam_size)
+    if lpen is None:
+        lpen = config.infer_length_penalty_weight
+
+    def serve(params, images_u8):
+        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
+                                  False)
+        top, _ = beam_search(params, spec, images, beam_size=beam,
+                             max_steps=steps, length_penalty=lpen,
+                             collect_alignments=False, early_exit=True)
+        return top.ids
+
+    return serve
+
+
 def _pipelined_ms(fn, args, iters, sync, warmup=2, rounds=2):
     """Mean wall ms/call: pipelined dispatch, one trailing host sync.
 
@@ -80,24 +108,7 @@ def bench_serving(config, spec, params, steps, beam):
     import jax
     import jax.numpy as jnp
 
-    from comic_tpu.data.preprocessing import preprocess_batch
-    from comic_tpu.decoding import beam_search
-
-    h, w = config.cnn_input_size
-
-    def serve(params, images_u8):
-        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
-                                  False)
-        # production serving config: no attention maps, early-exit
-        # while_loop — the unreachable EOS forces all 60 iterations, so
-        # this measures the true production worst case (incl. the ~0.9%
-        # while_loop overhead vs the fixed scan)
-        top, _ = beam_search(params, spec, images, beam_size=beam,
-                             max_steps=steps,
-                             length_penalty=config.infer_length_penalty_weight,
-                             collect_alignments=False, early_exit=True)
-        return top.ids
-
+    serve = _make_serve(config, spec, steps)
     rng = np.random.default_rng(0)
     best, best_batch = 0.0, 0
     ms_by_batch = {}
@@ -133,24 +144,13 @@ def bench_serving_floor(config, spec, params, steps, beam):
     import jax
     import jax.numpy as jnp
 
-    from comic_tpu.data.preprocessing import preprocess_batch
-    from comic_tpu.decoding import beam_search
-
-    h, w = config.cnn_input_size
     # tree_map builds fresh containers, so mutating the copy is safe
     p2 = jax.tree_util.tree_map(jnp.array, params)
     bias = p2["decoder"]["output_projection"]["bias"]
     p2["decoder"]["output_projection"]["bias"] = bias.at[
         spec.decoder.end_id].add(8.0)
 
-    def serve(params, images_u8):
-        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
-                                  False)
-        top, _ = beam_search(params, spec, images, beam_size=beam,
-                             max_steps=steps, length_penalty=0.0,
-                             collect_alignments=False, early_exit=True)
-        return top.ids
-
+    serve = _make_serve(config, spec, steps, lpen=0.0)
     rng = np.random.default_rng(4)
     batch = 128
     images_u8 = jnp.asarray(
@@ -183,20 +183,7 @@ def bench_serving_realistic(config, serve_spec, params, beam,
     import jax
     import jax.numpy as jnp
 
-    from comic_tpu.data.preprocessing import preprocess_batch
-    from comic_tpu.decoding import beam_search
-
-    h, w = config.cnn_input_size
-
-    def serve(params, images_u8):
-        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
-                                  False)
-        top, _ = beam_search(params, serve_spec, images, beam_size=beam,
-                             max_steps=steps_real,
-                             length_penalty=config.infer_length_penalty_weight,
-                             collect_alignments=False, early_exit=True)
-        return top.ids
-
+    serve = _make_serve(config, serve_spec, steps_real)
     rng = np.random.default_rng(9)
     batch = 128
     images_u8 = jnp.asarray(
@@ -349,15 +336,7 @@ def roofline_serving(config, serve_spec, params, steps, beam,
     h, w = config.cnn_input_size
     batch = 128
     images_u8 = jax.ShapeDtypeStruct((batch, 256, 256, 3), jnp.uint8)
-
-    def serve(params, images_u8):
-        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
-                                  False)
-        top, _ = beam_search(params, serve_spec, images, beam_size=beam,
-                             max_steps=steps,
-                             length_penalty=config.infer_length_penalty_weight,
-                             collect_alignments=False, early_exit=True)
-        return top.ids
+    serve = _make_serve(config, serve_spec, steps)
 
     def prep(params, images_u8):
         images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,

@@ -187,12 +187,19 @@ class PackedImageSource:
                 "bilinear; host_resize_tf1 would silently not apply — "
                 "unset it or use the file loader.")
         self._f = h5py.File(h5_path, "r")
-        images = self._f["images"]
-        if images.shape[1:] != (RESIZE_SIZE, RESIZE_SIZE, 3):
-            raise ValueError(
-                f"packed images are {images.shape[1:]}, loader contract is "
-                f"({RESIZE_SIZE}, {RESIZE_SIZE}, 3) — repack with "
-                f"image_size=({RESIZE_SIZE}, {RESIZE_SIZE}).")
+        try:
+            images = self._f["images"]
+            if images.shape[1:] != (RESIZE_SIZE, RESIZE_SIZE, 3):
+                raise ValueError(
+                    f"packed images are {images.shape[1:]}, loader "
+                    f"contract is ({RESIZE_SIZE}, {RESIZE_SIZE}, 3) — "
+                    f"repack with image_size=({RESIZE_SIZE}, "
+                    f"{RESIZE_SIZE}).")
+        except Exception:
+            # a rejected pack must not leak the open handle (a retry loop
+            # over candidate packs would accumulate descriptors)
+            self._f.close()
+            raise
         self._images = images
         # filename -> row, from the '<row>,<filepath>,<caption>' lines.
         # The basename fallback (infer file lists may carry bare
@@ -236,32 +243,72 @@ class PackedImageSource:
         self._f.close()
 
 
-def _prefetch(gen: Iterator, depth: int) -> Iterator:
+def _prefetch(gen: Iterator, depth: int,
+              registry: Optional[list] = None) -> Iterator:
     """Run `gen` in a background thread with a bounded queue.
 
     A worker exception is re-raised in the consumer (a corrupt image must
-    fail the epoch loudly, not silently truncate it)."""
+    fail the epoch loudly, not silently truncate it).
+
+    Abandonment safety: the worker's queue puts poll a stop event, the
+    consumer generator signals it and joins the thread in its `finally`
+    (so dropping the iterator mid-epoch doesn't leave a thread blocked on
+    q.put holding the loader), and callers may pass `registry` to receive
+    the (stop_event, thread) pair — a pipeline's close() sets/joins those
+    BEFORE closing its loader, because an exception propagating out of a
+    consumer keeps the generator alive in the traceback, so the finally
+    may not have run yet when close() is called (and closing an HDF5
+    loader under a worker mid-read is not thread-safe)."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
     _ERR = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
-            q.put(_END)
+                if not put(item):
+                    return
+            put(_END)
         except BaseException as e:  # re-raised on the consumer side
-            q.put((_ERR, e))
+            put((_ERR, e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-            raise item[1]
-        yield item
+    if registry is not None:
+        registry.append((stop, t))
+
+    def consume():
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] is _ERR:
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()
+            # unblock a worker waiting on a full queue, then wait out any
+            # in-flight loader read (ms-scale) so the loader can be closed
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)
+
+    return consume()
 
 
 class TrainPipeline:
@@ -516,6 +563,7 @@ class InferencePipeline:
                 num_workers, mode=host_resize_mode(config, False),
                 tf1_exact=bool(config.get("host_resize_tf1")))
         self._join_dataset_dir = not packed  # packed rows key on rel paths
+        self._prefetchers: list = []
 
     def __iter__(self):
         def gen():
@@ -527,7 +575,7 @@ class InferencePipeline:
                     if self._join_dataset_dir else chunk)
                 yield self.loader.load(paths), chunk
 
-        return _prefetch(gen(), 4)
+        return _prefetch(gen(), 4, registry=self._prefetchers)
 
     def __len__(self):
         return len(self.files) // self.batch_size
@@ -535,5 +583,14 @@ class InferencePipeline:
     def close(self):
         """Release the loader (h5 file handle / thread pool). A long
         checkpoint sweep builds one pipeline and must not pin the pack
-        or leak descriptors across repeated constructions."""
+        or leak descriptors across repeated constructions. Prefetch
+        workers are stopped and joined FIRST: when an exception is
+        unwinding, the epoch generator's own cleanup may not have run yet
+        (it is pinned alive by the traceback), and closing the HDF5
+        handle under a worker mid-read is not thread-safe."""
+        for stop, _ in self._prefetchers:
+            stop.set()
+        for _, t in self._prefetchers:
+            t.join(timeout=10.0)
+        self._prefetchers.clear()
         self.loader.close()

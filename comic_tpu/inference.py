@@ -154,7 +154,9 @@ def run_inference(config: Config, ckpt_path: str,
     params = ckpt.load_compact(ckpt_path, params)
 
     own_pipe = pipe is None
-    pipe = pipe or InferencePipeline(config)
+    if own_pipe:  # same ownership test as the close below ('pipe or ...'
+        # would silently rebuild — and never close — a falsy empty pipe)
+        pipe = InferencePipeline(config)
     steps = max_decode_steps(config, vocab)
     if serve is None:
         from .parallel.mesh import make_mesh_for_batch
@@ -166,87 +168,91 @@ def run_inference(config: Config, ckpt_path: str,
                                             or 0)),
                               collect_alignments=save_attention)
 
-    ckpt_name = _ckpt_name(ckpt_path)
-    save_dir = pjoin(config.log_path, infer_dir_name(config))
-    os.makedirs(save_dir, exist_ok=True)
+    try:
+        ckpt_name = _ckpt_name(ckpt_path)
+        save_dir = pjoin(config.log_path, infer_dir_name(config))
+        os.makedirs(save_dir, exist_ok=True)
 
-    all_ids: List = []
-    all_caps: List[str] = []
-    # reference raw-outputs pickle structure (infer_fn.py:107-151):
-    # three filename-keyed dicts; 'attention' capped by
-    # config.infer_attention_max_images (-1 = full reference output)
-    raw_outputs: Dict = {"captions": {}, "attention": {}, "image_ids": {}}
-    def consume(ids, attn, files):
-        caps = ids_to_captions(np.asarray(ids), config.token_type, vocab,
-                               config.radix_base)
-        for f, c in zip(files, caps):
-            all_ids.append(image_id_from_path(f))
-            all_caps.append(c)
-        if save_attention:
-            if attn is None:
-                raise ValueError(
-                    "save_attention=True but the serve fn returned no "
-                    "alignment maps — it was built with "
-                    "collect_alignments=False; rebuild via "
-                    "make_serve_fn(..., collect_alignments=True).")
-            limit = config.get("infer_attention_max_images")
-            limit = 4 if limit is None else int(limit)  # 0 = maps for none
-            maps = None
-            if limit < 0 or len(raw_outputs["attention"]) < limit:
-                maps = np.asarray(attn)
-            for j, (f, c) in enumerate(zip(files, caps)):
-                raw_outputs["captions"][f] = c
-                raw_outputs["image_ids"][f] = image_id_from_path(f)
-                if maps is not None and (
-                        limit < 0 or len(raw_outputs["attention"]) < limit):
-                    raw_outputs["attention"][f] = maps[j]
-        return len(caps)
+        all_ids: List = []
+        all_caps: List[str] = []
+        # reference raw-outputs pickle structure (infer_fn.py:107-151):
+        # three filename-keyed dicts; 'attention' capped by
+        # config.infer_attention_max_images (-1 = full reference output)
+        raw_outputs: Dict = {"captions": {}, "attention": {}, "image_ids": {}}
+        def consume(ids, attn, files):
+            caps = ids_to_captions(np.asarray(ids), config.token_type, vocab,
+                                   config.radix_base)
+            for f, c in zip(files, caps):
+                all_ids.append(image_id_from_path(f))
+                all_caps.append(c)
+            if save_attention:
+                if attn is None:
+                    raise ValueError(
+                        "save_attention=True but the serve fn returned no "
+                        "alignment maps — it was built with "
+                        "collect_alignments=False; rebuild via "
+                        "make_serve_fn(..., collect_alignments=True).")
+                limit = config.get("infer_attention_max_images")
+                limit = 4 if limit is None else int(limit)  # 0 = maps for none
+                maps = None
+                if limit < 0 or len(raw_outputs["attention"]) < limit:
+                    maps = np.asarray(attn)
+                for j, (f, c) in enumerate(zip(files, caps)):
+                    raw_outputs["captions"][f] = c
+                    raw_outputs["image_ids"][f] = image_id_from_path(f)
+                    if maps is not None and (
+                            limit < 0 or len(raw_outputs["attention"]) < limit):
+                        raw_outputs["attention"][f] = maps[j]
+            return len(caps)
 
-    from .parallel.mesh import start_host_fetch
+        from .parallel.mesh import start_host_fetch
 
-    n_done = 0
-    t0 = time.time()
-    pending = None  # one-batch software pipeline: convert batch i's ids
-    # on host while the device decodes batch i+1 (a synchronous per-batch
-    # fetch costs a full tunnel round trip — CLAUDE.md)
-    for images, files in iter(pipe):
-        # raw numpy in: jit shards + transfers per its in_shardings
-        # (jnp.asarray would commit the batch to device 0 and force a
-        # per-batch reshard — CLAUDE.md hot-loop rule)
-        ids, attn = serve(params, images)
-        start_host_fetch(ids)
+        n_done = 0
+        t0 = time.time()
+        pending = None  # one-batch software pipeline: convert batch i's ids
+        # on host while the device decodes batch i+1 (a synchronous per-batch
+        # fetch costs a full tunnel round trip — CLAUDE.md)
+        for images, files in iter(pipe):
+            # raw numpy in: jit shards + transfers per its in_shardings
+            # (jnp.asarray would commit the batch to device 0 and force a
+            # per-batch reshard — CLAUDE.md hot-loop rule)
+            ids, attn = serve(params, images)
+            start_host_fetch(ids)
+            if pending is not None:
+                # consume BEFORE the attention-prefetch decision below: it
+                # fills raw_outputs['attention'] for the previous batch, so
+                # the cap check sees the current count (a stale count would
+                # async-fetch one full (B,H,T,L) f32 batch past the cap —
+                # 0.1-1.3 s wasted on the ~40 MB/s tunnel)
+                n_done += consume(*pending)
+            if attn is not None:
+                # alignment maps are big ((B,H,T,L) f32) — only fetch while
+                # the attention cap still wants them
+                limit = config.get("infer_attention_max_images")
+                limit = 4 if limit is None else int(limit)
+                if limit < 0 or len(raw_outputs["attention"]) < limit:
+                    start_host_fetch(attn)
+            pending = (ids, attn, files)
         if pending is not None:
-            # consume BEFORE the attention-prefetch decision below: it
-            # fills raw_outputs['attention'] for the previous batch, so
-            # the cap check sees the current count (a stale count would
-            # async-fetch one full (B,H,T,L) f32 batch past the cap —
-            # 0.1-1.3 s wasted on the ~40 MB/s tunnel)
             n_done += consume(*pending)
-        if attn is not None:
-            # alignment maps are big ((B,H,T,L) f32) — only fetch while
-            # the attention cap still wants them
-            limit = config.get("infer_attention_max_images")
-            limit = 4 if limit is None else int(limit)
-            if limit < 0 or len(raw_outputs["attention"]) < limit:
-                start_host_fetch(attn)
-        pending = (ids, attn, files)
-    if pending is not None:
-        n_done += consume(*pending)
-    dt = time.time() - t0
+        dt = time.time() - t0
 
-    if len(set(map(str, all_ids))) != len(all_ids):
-        raise AssertionError("Duplicate image ids in inference output.")
+        if len(set(map(str, all_ids))) != len(all_ids):
+            raise AssertionError("Duplicate image ids in inference output.")
 
-    json_path = pjoin(save_dir, f"captions___{ckpt_name}.json")
-    write_caption_json(json_path, all_ids, all_caps)
-    with open(pjoin(save_dir, "infer_speed.txt"), "a") as f:
-        f.write(f"{ckpt_name}: {n_done / max(dt, 1e-9):.2f} captions/sec "
-                f"({n_done} images in {dt:.1f}s)\n")
-    if save_attention and raw_outputs["captions"]:
-        with open(pjoin(save_dir, f"outputs___{ckpt_name}.pkl"), "wb") as f:
-            pickle.dump(raw_outputs, f, pickle.HIGHEST_PROTOCOL)
-    if own_pipe:
-        pipe.close()  # callers who pass a pipe own its lifetime
+        json_path = pjoin(save_dir, f"captions___{ckpt_name}.json")
+        write_caption_json(json_path, all_ids, all_caps)
+        with open(pjoin(save_dir, "infer_speed.txt"), "a") as f:
+            f.write(f"{ckpt_name}: {n_done / max(dt, 1e-9):.2f} captions/sec "
+                    f"({n_done} images in {dt:.1f}s)\n")
+        if save_attention and raw_outputs["captions"]:
+            with open(pjoin(save_dir, f"outputs___{ckpt_name}.pkl"), "wb") as f:
+                pickle.dump(raw_outputs, f, pickle.HIGHEST_PROTOCOL)
+    finally:
+        if own_pipe:  # callers who pass a pipe own its lifetime;
+            # close on error paths too (the packed-h5 handle and
+            # prefetch worker must not outlive a failed run)
+            pipe.close()
     return save_dir, json_path
 
 

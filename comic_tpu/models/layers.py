@@ -69,9 +69,20 @@ def merged_1x1_bn_relu(parts, x, eps, dtype=None):
     must all be 1x1; shared by the inception v1/v2/v3/v4 mixed blocks and
     the inception_resnet_v2 residual blocks. The merge is in-graph only:
     param trees, checkpoints and the slim converter are untouched.
+
+    CALL-SITE CONTRACT: the merged conv runs stride-1 SAME — only branches
+    whose first conv is 1x1/stride-1/SAME may be merged (a strided 1x1,
+    e.g. a resnet shortcut, would silently compute the wrong activations;
+    stride/padding live at the call site, so they cannot be validated
+    here — the kernel shape can be, and is, with a real raise rather than
+    an assert so `python -O` keeps the check).
     """
     for q in parts:
-        assert q["weights"].shape[:2] == (1, 1), q["weights"].shape
+        if tuple(q["weights"].shape[:2]) != (1, 1):
+            raise ValueError(
+                f"merged_1x1_bn_relu got a {q['weights'].shape[:2]} "
+                "kernel — only 1x1/stride-1/SAME first convs are "
+                "mergeable.")
     w = jnp.concatenate([q["weights"] for q in parts], axis=3)
     xin = x if dtype is None else x.astype(dtype)
     y = jax.lax.conv_general_dilated(
