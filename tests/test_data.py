@@ -283,6 +283,27 @@ class TestPipelines:
         with pytest.raises(ValueError, match="host_resize_tf1"):
             InferencePipeline(c)
 
+    def test_close_joins_abandoned_prefetch_worker(self, synth, tmp_path):
+        """Dropping a pipeline iterator mid-epoch leaves its prefetch
+        worker blocked on the bounded queue (6 batches vs the depth-4
+        queue); close() must stop and JOIN it BEFORE closing the loader —
+        closing the h5 handle under a worker mid-read is not thread-safe
+        — and the handle must actually close."""
+        pytest.importorskip("h5py")
+        from comic_tpu.data.pipeline import InferencePipeline
+        root, vocab = synth
+        h5_path = self._pack_synth(root, vocab, tmp_path)
+        c = self._config(root, infer_set="test", packed_dataset=h5_path)
+        pipe = InferencePipeline(c)
+        it = iter(pipe)
+        next(it)  # consume one batch; the worker stays blocked mid-epoch
+        assert len(pipe._prefetchers) == 1
+        _, worker = pipe._prefetchers[0]
+        pipe.close()
+        assert not worker.is_alive()
+        with pytest.raises(Exception):  # h5 handle really closed
+            pipe.loader.load([pipe.files[0]])
+
     def test_packed_basename_collision_refuses_bare_lookup(self, synth,
                                                            tmp_path):
         """Two packed filepaths sharing a basename (train2014/x.jpg +
