@@ -19,6 +19,7 @@ Re-design of the reference InputManager family
 
 from __future__ import annotations
 
+import os
 import queue
 import random
 import threading
@@ -115,8 +116,15 @@ class _ImageLoaderPool:
         self.tf1_exact = tf1_exact
         self._rng = np.random.default_rng(seed)
         self._pool: Optional[ThreadPoolExecutor] = None  # lazy, persistent
+        self._closed = False
 
     def load(self, paths: Sequence[str]) -> np.ndarray:
+        if self._closed:
+            # use-after-close must fail loudly: the lazy `_pool is None`
+            # state is otherwise indistinguishable from never-opened, and
+            # load() would silently spawn a fresh executor nothing shuts
+            # down (PackedImageSource's post-close load raises too)
+            raise ValueError("load() on a closed _ImageLoaderPool")
         out = np.empty((len(paths), RESIZE_SIZE, RESIZE_SIZE, 3), np.uint8)
         # per-image independent RNG streams (thread-safe scale jitter)
         seeds = (self._rng.integers(0, 2**63, len(paths))
@@ -143,14 +151,23 @@ class _ImageLoaderPool:
         return out
 
     def close(self):
+        self._closed = True
         if self._pool is not None:
             self._pool.shutdown()
             self._pool = None
 
 
-# basename-index poison marker: a bare-filename lookup that could refer to
-# more than one packed image must fail loudly (see PackedImageSource)
-_AMBIGUOUS = object()
+def _path_suffix_match(query: str, packed: str) -> bool:
+    """True when one path's components are a trailing suffix of the other's.
+
+    Accepts the legitimate basename-fallback cases ('x.jpg' vs packed
+    'train2014/x.jpg'; absolute '/data/coco/train2014/x.jpg' vs packed
+    'train2014/x.jpg') while rejecting a directory MISMATCH
+    ('val_subset/x.jpg' vs packed 'train2014/x.jpg'), which previously
+    served the wrong image silently when the basename was unique."""
+    q = [c for c in query.replace(os.sep, "/").split("/") if c]
+    f = [c for c in packed.split("/") if c]
+    return q[-len(f):] == f or f[-len(q):] == q
 
 
 class PackedImageSource:
@@ -172,8 +189,6 @@ class PackedImageSource:
 
     def __init__(self, h5_path: str, mode: str = "square",
                  tf1_exact: bool = False):
-        import os
-
         import h5py
 
         if mode != "square":
@@ -195,47 +210,59 @@ class PackedImageSource:
                     f"contract is ({RESIZE_SIZE}, {RESIZE_SIZE}, 3) — "
                     f"repack with image_size=({RESIZE_SIZE}, "
                     f"{RESIZE_SIZE}).")
+            # filename -> row, from the '<row>,<filepath>,<caption>' lines
+            # (one line per caption; first occurrence of a filepath wins,
+            # as in `serialise_everything` row assignment). `_by_base`
+            # keeps (row, fpath) candidates for the basename fallback in
+            # load(); the whole index build stays inside this try — a pack
+            # missing a split key or carrying a malformed caption line
+            # must not leak the open handle (a retry loop over candidate
+            # packs would accumulate descriptors).
+            self._index: dict = {}
+            self._by_base: dict = {}
+            for split in ("train", "valid", "test"):
+                for line in self._f[split][:]:
+                    line = (line.decode() if isinstance(line, bytes)
+                            else line)
+                    row_s, fpath = line.split(",", 2)[:2]
+                    if fpath in self._index:
+                        continue
+                    self._index[fpath] = int(row_s)
+                    self._by_base.setdefault(
+                        os.path.basename(fpath), []).append(
+                            (int(row_s), fpath))
         except Exception:
-            # a rejected pack must not leak the open handle (a retry loop
-            # over candidate packs would accumulate descriptors)
             self._f.close()
             raise
         self._images = images
-        # filename -> row, from the '<row>,<filepath>,<caption>' lines.
-        # The basename fallback (infer file lists may carry bare
-        # filenames) is poisoned on collision: two packed paths sharing a
-        # basename (e.g. train2014/x.jpg + val2014/x.jpg) must not let a
-        # bare-name lookup silently serve the wrong image.
-        self._index: dict = {}
-        by_base: dict = {}
-        for split in ("train", "valid", "test"):
-            for line in self._f[split][:]:
-                line = line.decode() if isinstance(line, bytes) else line
-                row_s, fpath = line.split(",", 2)[:2]
-                self._index.setdefault(fpath, int(row_s))
-                base = os.path.basename(fpath)
-                row = int(row_s)
-                if by_base.setdefault(base, row) != row \
-                        and by_base[base] is not _AMBIGUOUS:
-                    by_base[base] = _AMBIGUOUS
-        for k, v in by_base.items():
-            self._index.setdefault(k, v)
 
     def load(self, paths: Sequence[str]) -> np.ndarray:
-        import os
-
         out = np.empty((len(paths), RESIZE_SIZE, RESIZE_SIZE, 3), np.uint8)
         for i, p in enumerate(paths):
             row = self._index.get(p)
             if row is None:
-                row = self._index.get(os.path.basename(p))
+                # basename fallback (infer file lists may carry bare
+                # filenames, or absolute paths against a pack of relative
+                # ones) — but only where the directory components AGREE
+                # (_path_suffix_match): a unique basename in a DIFFERENT
+                # directory must refuse, not silently serve that image.
+                cands = self._by_base.get(os.path.basename(p), ())
+                hits = [(r, f) for r, f in cands if _path_suffix_match(p, f)]
+                if len(hits) > 1:
+                    raise KeyError(
+                        f"{p!r} matches multiple packed images by basename "
+                        "— pass the relative filepath recorded in the "
+                        "pack's caption lines instead.")
+                if len(hits) == 1:
+                    row = hits[0][0]
+                elif cands:
+                    raise KeyError(
+                        f"{p!r} is not in the packed dataset; entries "
+                        "sharing its basename exist but in different "
+                        f"directories ({[f for _, f in cands]!r}) — "
+                        "refusing the basename fallback.")
             if row is None:
                 raise KeyError(f"{p!r} is not in the packed dataset")
-            if row is _AMBIGUOUS:
-                raise KeyError(
-                    f"{p!r} matches multiple packed images by basename — "
-                    "pass the relative filepath recorded in the pack's "
-                    "caption lines instead.")
             self._images.read_direct(out, np.s_[row], np.s_[i])
         return out
 

@@ -157,18 +157,22 @@ def run_inference(config: Config, ckpt_path: str,
     if own_pipe:  # same ownership test as the close below ('pipe or ...'
         # would silently rebuild — and never close — a falsy empty pipe)
         pipe = InferencePipeline(config)
-    steps = max_decode_steps(config, vocab)
-    if serve is None:
-        from .parallel.mesh import make_mesh_for_batch
-
-        serve = make_serve_fn(spec, config, steps,
-                              mesh=make_mesh_for_batch(
-                                  config.batch_size_infer,
-                                  limit=int(config.get("num_data_shards")
-                                            or 0)),
-                              collect_alignments=save_attention)
-
     try:
+        # serve-fn construction sits INSIDE the try: a mesh-divisibility
+        # ValueError here must still close the owned pipe (packed-h5
+        # handle + prefetch worker), or a retry loop over candidate
+        # configs accumulates open descriptors
+        steps = max_decode_steps(config, vocab)
+        if serve is None:
+            from .parallel.mesh import make_mesh_for_batch
+
+            serve = make_serve_fn(spec, config, steps,
+                                  mesh=make_mesh_for_batch(
+                                      config.batch_size_infer,
+                                      limit=int(config.get("num_data_shards")
+                                                or 0)),
+                                  collect_alignments=save_attention)
+
         ckpt_name = _ckpt_name(ckpt_path)
         save_dir = pjoin(config.log_path, infer_dir_name(config))
         os.makedirs(save_dir, exist_ok=True)

@@ -335,6 +335,76 @@ class TestPipelines:
         finally:
             src.close()
 
+    def test_packed_basename_fallback_checks_directory(self, synth,
+                                                       tmp_path):
+        """The bare-basename fallback only fires when the query's
+        directory components AGREE with the packed path's (trailing-suffix
+        match): a unique basename in a DIFFERENT directory must refuse —
+        it previously served that other directory's image silently. An
+        absolute query whose tail matches the packed relative path still
+        resolves."""
+        pytest.importorskip("h5py")
+        from comic_tpu.data.pipeline import PackedImageSource
+        root, vocab = synth
+        h5_path = self._pack_synth(root, vocab, tmp_path)
+        src = PackedImageSource(h5_path)
+        try:
+            path0 = next(iter(src._index))
+            base = path0.rsplit("/", 1)[-1]
+            want = src.load([path0])
+            # bare unique basename -> resolves (the documented use case)
+            np.testing.assert_array_equal(src.load([base]), want)
+            # absolute path with a matching component tail -> resolves
+            np.testing.assert_array_equal(
+                src.load(["/abs/data/" + path0]), want)
+            # same basename, WRONG directory -> refuses loudly
+            with pytest.raises(KeyError, match="different directories"):
+                src.load(["elsewhere/" + base])
+        finally:
+            src.close()
+
+    def test_rejected_pack_closes_handle(self, synth, tmp_path,
+                                         monkeypatch):
+        """A pack whose index build fails (malformed caption line) must
+        close the just-opened h5 handle — a retry loop over candidate
+        packs would otherwise accumulate descriptors. The index build
+        runs inside the constructor's close-on-error guard."""
+        h5py = pytest.importorskip("h5py")
+        from comic_tpu.data.pipeline import PackedImageSource
+        root, vocab = synth
+        h5_path = self._pack_synth(root, vocab, tmp_path)
+        with h5py.File(h5_path, "r+") as f:
+            lines = [ln.decode() if isinstance(ln, bytes) else ln
+                     for ln in f["test"][:]]
+            del f["test"]
+            f.create_dataset(
+                "test", data=np.asarray(lines + ["no-comma-line"],
+                                        dtype=object),
+                dtype=h5py.string_dtype())
+        opened = []
+        real_file = h5py.File
+
+        def spy(*a, **k):
+            fh = real_file(*a, **k)
+            opened.append(fh)
+            return fh
+
+        monkeypatch.setattr(h5py, "File", spy)
+        with pytest.raises(ValueError):
+            PackedImageSource(h5_path)
+        assert opened and all(not fh.id.valid for fh in opened)
+
+    def test_loader_pool_refuses_load_after_close(self):
+        """Use-after-close must fail loudly: the lazy `_pool is None`
+        state is indistinguishable from never-opened, so load() after
+        close() would silently spawn a fresh executor nothing shuts
+        down."""
+        from comic_tpu.data.pipeline import _ImageLoaderPool
+        pool = _ImageLoaderPool(num_workers=2)
+        pool.close()
+        with pytest.raises(ValueError, match="closed"):
+            pool.load(["whatever.jpg"])
+
 
 class TestHostResize:
     def test_tf1_np_matches_tf(self, rng):

@@ -102,6 +102,42 @@ class TestInferenceEndToEnd:
             run_inference(config,
                           os.path.join(c.log_path, name + ".msgpack"))
 
+    def test_run_inference_closes_pipe_on_serve_build_error(
+            self, trained, monkeypatch):
+        """A failure while building the serve fn (e.g. a mesh
+        divisibility ValueError) must still close the pipeline that
+        run_inference itself constructed — the packed-h5 handle and
+        prefetch worker must not leak on error paths, so serve-fn
+        construction sits inside the close-owning try/finally."""
+        import comic_tpu.inference as inf
+        import comic_tpu.parallel.mesh as mesh_mod
+
+        c, root = trained
+        config = load_config(c.log_path)
+        config.update(log_path=c.log_path, infer_set="test",
+                      batch_size_infer=2, infer_beam_size=1,
+                      infer_max_length=10)
+        closed = []
+        real_pipe = inf.InferencePipeline
+
+        class SpyPipe(real_pipe):
+            def close(self):
+                closed.append(True)
+                super().close()
+
+        monkeypatch.setattr(inf, "InferencePipeline", SpyPipe)
+
+        def boom(*a, **k):
+            raise ValueError("injected mesh failure")
+
+        monkeypatch.setattr(mesh_mod, "make_mesh_for_batch", boom)
+        from comic_tpu.training.checkpoints import list_checkpoints
+        name = list_checkpoints(c.log_path)[-1]
+        with pytest.raises(ValueError, match="injected mesh failure"):
+            run_inference(config,
+                          os.path.join(c.log_path, name + ".msgpack"))
+        assert closed, "owned pipeline was not closed on the error path"
+
     def test_sweep_with_scoring(self, trained):
         c, root = trained
         config = load_config(c.log_path)

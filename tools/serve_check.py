@@ -19,22 +19,14 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship
-    from bench import _pipelined_ms
-    from comic_tpu.data.preprocessing import preprocess_batch
-    from comic_tpu.decoding import beam_search
+    from bench import _make_serve, _pipelined_ms
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     config, spec, params = _flagship()
-    h, w = config.cnn_input_size
-
-    def serve(params, images_u8):
-        images = preprocess_batch(images_u8, jax.random.PRNGKey(0), h, w,
-                                  False)
-        top, _ = beam_search(
-            params, spec, images, beam_size=3, max_steps=60,
-            length_penalty=config.infer_length_penalty_weight,
-            collect_alignments=False, early_exit=True)
-        return top.ids
+    # the SAME production serving program every bench leg measures —
+    # a hand-inlined copy here would silently go stale when the serve
+    # closure changes (as it did twice in r5)
+    serve = _make_serve(config, spec, steps=60)
 
     rng = np.random.default_rng(0)
     images_u8 = jnp.asarray(
